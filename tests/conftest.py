@@ -1,0 +1,47 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The TPU-native analog of the reference's fake-backend strategy
+(``/root/reference/tests/conftest.py`` uses a miniature hub dataset): tests
+force the CPU platform with 8 virtual XLA devices so sharding/collective
+code paths run without TPU hardware.  Must run before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_np():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture()
+def rng_key():
+    return jax.random.key(0)
+
+
+@pytest.fixture(scope="session")
+def sample_batch(rng_np):
+    """Random waveform batch, NWC (4, 1, 15679)-equivalent of the reference's
+    ``torch.randn(4, 1, 15679)`` fixture (``tests/conftest.py:39-44``)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(rng_np.standard_normal((4, 15679, 1)).astype(np.float32))
+
+
+def reference_available() -> bool:
+    return os.path.isdir("/root/reference/vibravox")
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="PyTorch reference repo not mounted"
+)

@@ -1,0 +1,202 @@
+"""Tests for the DSP op library: STFT loss, resampling, biquad, audio utils,
+augmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vibravox_tpu.ops.audio import pad_audio, set_audio_duration, slice_audio
+from vibravox_tpu.ops.augment import (
+    WaveformDataAugmentation,
+    pitch_shift,
+    speed_perturbation,
+    time_masking_block,
+)
+from vibravox_tpu.ops.biquad import biquad_apply, biquad_coeffs_lowpass, remove_hf
+from vibravox_tpu.ops.resample import KaiserResampler, resample
+from vibravox_tpu.ops.stft import MultiResolutionSTFTLoss, stft_magnitude
+
+
+# --------------------------------------------------------------------------- #
+# STFT / multi-res loss
+# --------------------------------------------------------------------------- #
+
+
+class TestMultiResolutionSTFT:
+    def setup_method(self):
+        self.loss_fn = MultiResolutionSTFTLoss(
+            fft_sizes=(512, 1024, 2048),
+            hop_sizes=(50, 120, 240),
+            win_lengths=(240, 600, 1200),
+            sample_rate=16000,
+            perceptual_weighting=True,
+        )
+
+    def test_zero_on_identity(self, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        assert float(self.loss_fn(x, x)) == 0.0
+
+    def test_positive_and_scalar(self, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        y = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        loss = self.loss_fn(x, y)
+        assert loss.shape == () and float(loss) > 0
+
+    def test_differentiable(self, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((1, 8000)).astype(np.float32))
+        y = jnp.asarray(rng_np.standard_normal((1, 8000)).astype(np.float32))
+        g = jax.grad(lambda a: self.loss_fn(a, y))(x)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_channels_last_input(self, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((2, 8000, 1)).astype(np.float32))
+        y = jnp.asarray(rng_np.standard_normal((2, 8000, 1)).astype(np.float32))
+        l3 = self.loss_fn(x, y)
+        l2 = self.loss_fn(x[..., 0], y[..., 0])
+        np.testing.assert_allclose(float(l3), float(l2), rtol=1e-6)
+
+
+def test_stft_magnitude_parseval():
+    """Magnitude of a windowed pure tone peaks at the right bin."""
+    sr, f0 = 16000, 1000
+    x = jnp.asarray(np.sin(2 * np.pi * f0 * np.arange(sr) / sr).astype(np.float32))[None]
+    mag = stft_magnitude(x, 512, 128, 512)
+    peak_bin = int(jnp.argmax(mag[0, mag.shape[1] // 2]))
+    assert abs(peak_bin - round(f0 * 512 / sr)) <= 1
+
+
+# --------------------------------------------------------------------------- #
+# Resampling
+# --------------------------------------------------------------------------- #
+
+
+class TestResample:
+    def test_sine_accuracy(self):
+        t = np.arange(48000) / 48000
+        s = jnp.asarray(np.sin(2 * np.pi * 440 * t).astype(np.float32))[None]
+        r = resample(s, 48000, 16000)
+        assert r.shape == (1, 16000)
+        t16 = np.arange(16000) / 16000
+        ref = np.sin(2 * np.pi * 440 * t16)
+        assert np.abs(np.asarray(r[0])[100:-100] - ref[100:-100]).max() < 5e-3
+
+    def test_identity(self):
+        x = jnp.ones((2, 100))
+        assert resample(x, 16000, 16000) is x
+
+    def test_output_length(self):
+        rs = KaiserResampler(16000, 24000)
+        for t in [1000, 1601, 12345]:
+            x = jnp.zeros((1, t))
+            assert rs(x).shape[-1] == rs.output_length(t)
+
+    def test_nwc_layout(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4800, 1)).astype(np.float32))
+        y = resample(x, 48000, 16000)
+        assert y.shape == (2, 1600, 1)
+
+
+# --------------------------------------------------------------------------- #
+# Biquad / remove_hf
+# --------------------------------------------------------------------------- #
+
+
+class TestBiquad:
+    def test_against_scipy_lfilter(self, rng_np):
+        from scipy.signal import lfilter
+
+        b, a = biquad_coeffs_lowpass(16000, 1000)
+        x = rng_np.standard_normal(500).astype(np.float32)
+        ours = np.asarray(biquad_apply(jnp.asarray(x), b, a))
+        ref = lfilter(np.asarray(b), np.asarray(a), x)
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_remove_hf_attenuates(self, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((1, 16000)).astype(np.float32))
+        y = remove_hf(x, 16000, 2000)
+        assert y.shape == x.shape
+        X = np.abs(np.fft.rfft(np.asarray(x[0])))
+        Y = np.abs(np.fft.rfft(np.asarray(y[0])))
+        f = np.fft.rfftfreq(16000, 1 / 16000)
+        assert (Y[f > 4000] ** 2).sum() / (X[f > 4000] ** 2).sum() < 1e-3
+
+
+# --------------------------------------------------------------------------- #
+# Audio utils
+# --------------------------------------------------------------------------- #
+
+
+class TestAudioUtils:
+    def test_pad_audio_symmetric(self):
+        x = jnp.ones((1, 10))
+        y = pad_audio(x, 16)
+        assert y.shape == (1, 16)
+        assert float(y[0, :3].sum()) == 0 and float(y[0, -3:].sum()) == 0
+        assert float(y.sum()) == 10
+
+    def test_slice_audio(self):
+        x = jnp.arange(20.0)[None]
+        y = slice_audio(x, 5, 3)
+        np.testing.assert_array_equal(np.asarray(y[0]), np.arange(3.0, 8.0))
+
+    def test_set_audio_duration_crop_coupled_alignment(self, rng_key, rng_np):
+        a = jnp.asarray(rng_np.standard_normal((1, 100)).astype(np.float32))
+        b = a * 2.0
+        ca, cb = set_audio_duration(a, 40, b, deterministic=False, rng=rng_key)
+        # same offset for both: cb must remain exactly 2*ca
+        np.testing.assert_allclose(np.asarray(cb), 2 * np.asarray(ca))
+        assert ca.shape == (1, 40)
+
+    def test_set_audio_duration_center(self):
+        x = jnp.arange(10.0)[None]
+        y = set_audio_duration(x, 4, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(y[0]), np.arange(3.0, 7.0))
+
+    def test_set_audio_duration_pad(self):
+        x = jnp.ones((1, 5))
+        y = set_audio_duration(x, 9, deterministic=True)
+        assert y.shape == (1, 9) and float(y.sum()) == 5
+
+
+# --------------------------------------------------------------------------- #
+# Augmentation
+# --------------------------------------------------------------------------- #
+
+
+class TestAugmentation:
+    def test_speed_changes_length(self, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        y = speed_perturbation(x, 16000, 1.25)
+        assert y.shape[-1] == 12800
+
+    def test_pitch_shift_preserves_length_and_moves_pitch(self):
+        sr = 16000
+        sine = jnp.asarray(np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32))[None]
+        y = pitch_shift(sine, sr, 12)  # one octave up
+        assert y.shape == sine.shape
+        F = np.abs(np.fft.rfft(np.asarray(y[0]) * np.hanning(sr)))
+        dominant = np.argmax(F[200:]) + 200  # ignore DC region
+        assert abs(dominant - 880) < 30
+
+    def test_time_masking(self, rng_key, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((2, 1000)).astype(np.float32)) + 10.0
+        y = time_masking_block(x, 10, rng_key)
+        zeros = int((np.asarray(y[0]) == 0).sum())
+        assert zeros == 100
+
+    def test_full_pipeline_gating(self, rng_np):
+        aug = WaveformDataAugmentation(16000, p_data_augmentation=0.0)
+        x = jnp.asarray(rng_np.standard_normal((1, 8000)).astype(np.float32))
+        y, _ = aug(x, None, rng=np.random.default_rng(0), jax_rng=jax.random.key(0))
+        assert y is x  # gate closed: untouched
+
+    def test_full_pipeline_coupled(self, rng_np):
+        aug = WaveformDataAugmentation(
+            16000, p_data_augmentation=1.0, p_speed_perturbation=1.0,
+            p_pitch_shift=0.0, p_time_masking=1.0,
+        )
+        x = jnp.asarray(rng_np.standard_normal((1, 8000)).astype(np.float32))
+        y1, y2 = aug(x, x, rng=np.random.default_rng(1), jax_rng=jax.random.key(1))
+        assert y1.shape == y2.shape
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)

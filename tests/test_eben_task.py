@@ -1,0 +1,131 @@
+"""EBEN GAN task tests: jitted train/eval step semantics.
+
+Covers what the reference never tests (SURVEY §4 gap): training-step
+mechanics — loss finiteness, parameter updates, dynamic loss balancing EMA
+state, and the discriminator update gate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vibravox_tpu.losses.gan import FeatureMatchingLoss, HingeLoss
+from vibravox_tpu.models.eben_discriminator import DiscriminatorEBENMultiScales
+from vibravox_tpu.models.eben_generator import EBENGenerator
+from vibravox_tpu.ops.stft import MultiResolutionSTFTLoss
+from vibravox_tpu.tasks.eben import EBENTask
+
+
+def make_task(**kwargs):
+    defaults = dict(
+        sample_rate=16000,
+        generator=EBENGenerator(m=4, n=32, p=2),
+        discriminator=DiscriminatorEBENMultiScales(q=4, min_channels=24),
+        generator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
+        discriminator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
+        reconstructive_loss_freq_fn=MultiResolutionSTFTLoss(
+            (512,), (50,), (240,), sample_rate=16000, perceptual_weighting=True
+        ),
+        feature_matching_loss_fn=FeatureMatchingLoss(),
+        adversarial_loss_fn=HingeLoss(),
+        dynamic_loss_balancing="ema",
+    )
+    defaults.update(kwargs)
+    return EBENTask(**defaults)
+
+
+@pytest.fixture(scope="module")
+def batch(rng_np):
+    t = 4064  # valid length for multiple=256, n=32
+    ref = rng_np.standard_normal((2, t, 1)).astype(np.float32) * 0.1
+    return {
+        "audio_body_conducted": jnp.asarray(ref * 0.5),
+        "audio_airborne": jnp.asarray(ref),
+    }
+
+
+@pytest.fixture(scope="module")
+def task_and_state(batch):
+    task = make_task()
+    state = task.init_state(jax.random.key(0), batch)
+    return task, state
+
+
+class TestEBENTrainStep:
+    def test_losses_finite_and_logged(self, task_and_state, batch):
+        task, state = task_and_state
+        new_state, logs = jax.jit(task.train_step)(state, batch)
+        expected = {
+            "train/generator/reconstructive_loss_freq",
+            "train/generator/feature_matching_loss",
+            "train/generator/adv_loss_gen",
+            "train/generator/backprop_loss",
+            "train/discriminator/real_loss",
+            "train/discriminator/fake_loss",
+            "train/discriminator/backprop_loss",
+        }
+        assert expected <= set(logs)
+        for k, v in logs.items():
+            assert bool(jnp.isfinite(v)), k
+
+    def test_params_update(self, task_and_state, batch):
+        task, state = task_and_state
+        new_state, _ = jax.jit(task.train_step)(state, batch)
+        g0 = state.gen_params["params"]["last_conv"]["kernel"]
+        g1 = new_state.gen_params["params"]["last_conv"]["kernel"]
+        assert not np.allclose(np.asarray(g0), np.asarray(g1))
+        assert int(new_state.step) == int(state.step) + 1
+
+    def test_ema_norms_populated(self, task_and_state, batch):
+        task, state = task_and_state
+        new_state, _ = jax.jit(task.train_step)(state, batch)
+        norms = np.asarray(new_state.atomic_norms_ema)
+        assert norms.shape == (3,)
+        assert (norms > 0).all()
+
+    def test_disc_gate_closed_freezes_discriminator(self, batch):
+        task = make_task(update_discriminator_ratio=0.0)
+        state = task.init_state(jax.random.key(1), batch)
+        new_state, _ = jax.jit(task.train_step)(state, batch)
+        d0 = jax.tree_util.tree_leaves(state.disc_params)
+        d1 = jax.tree_util.tree_leaves(new_state.disc_params)
+        for a, b in zip(d0, d1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_generator_loss_decreases(self, batch):
+        # pure reconstruction (no GAN terms): loss must go down over steps
+        task = make_task(
+            feature_matching_loss_fn=None,
+            adversarial_loss_fn=None,
+            dynamic_loss_balancing=None,
+            generator_optimizer=optax.adam(1e-3, b1=0.5, b2=0.9),
+        )
+        state = task.init_state(jax.random.key(2), batch)
+        step = jax.jit(task.train_step)
+        first = None
+        for _ in range(12):
+            state, logs = step(state, batch)
+            loss = float(logs["train/generator/backprop_loss"])
+            if first is None:
+                first = loss
+        assert loss < first, (first, loss)
+
+
+class TestEBENEvalStep:
+    def test_eval_outputs(self, task_and_state, batch):
+        task, state = task_and_state
+        out = jax.jit(task.eval_step)(state, batch)
+        assert {"corrupted", "enhanced", "reference", "logs"} <= set(out)
+        assert out["enhanced"].shape == out["reference"].shape
+        assert "generator/adv_loss_gen" in out["logs"]
+        assert "discriminator/real_loss" in out["logs"]
+
+    def test_eval_without_reference(self, task_and_state, batch):
+        task, state = task_and_state
+        out = jax.jit(task.eval_step)(
+            state, {"audio_body_conducted": batch["audio_body_conducted"]}
+        )
+        assert "reference" not in out
+        assert out["logs"] == {}

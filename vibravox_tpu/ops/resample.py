@@ -1,0 +1,121 @@
+"""Polyphase Kaiser-windowed-sinc resampling as a single strided XLA conv.
+
+Replaces ``torchaudio.transforms.Resample(resampling_method=
+"sinc_interp_kaiser")`` used by the reference at the metric 16 kHz path
+(``base_se.py:54``), the MelGAN multi-scale downsamplers
+(``melgan_discriminator.py:38-43``), and decode-time dataset resampling
+(``bwe.py:141-144``).
+
+Standard polyphase design: after reducing by the gcd, the ``new_freq`` output
+phases each get a Kaiser-windowed sinc kernel; applying them is one
+``conv1d`` with stride ``orig_freq`` producing all phases at once, which is
+exactly the batched-matmul shape the MXU wants.  Kernels are designed once on
+the host (numpy/scipy) and cached.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vibravox_tpu.ops.conv import conv1d
+
+__all__ = ["KaiserResampler", "resample"]
+
+_KAISER_BETA = 14.769656459379492  # torchaudio's sinc_interp_kaiser default
+_LOWPASS_FILTER_WIDTH = 6
+_ROLLOFF = 0.99
+
+
+@functools.lru_cache(maxsize=None)
+def _design_kernel(
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int,
+    rolloff: float,
+    beta: float,
+) -> Tuple[np.ndarray, int]:
+    """Design the polyphase kernel bank.
+
+    Returns (kernel (width_total, 1, new_freq) in WIO float32, left_pad).
+    """
+    from scipy.special import i0
+
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = int(math.ceil(lowpass_filter_width * orig_freq / base_freq))
+    idx = np.arange(-width, width + orig_freq, dtype=np.float64) / orig_freq
+    t = np.arange(0, -new_freq, -1, dtype=np.float64)[:, None] / new_freq + idx[None, :]
+    t = np.clip(t * base_freq, -lowpass_filter_width, lowpass_filter_width)
+    window = i0(beta * np.sqrt(1 - (t / lowpass_filter_width) ** 2)) / i0(beta)
+    t = t * np.pi
+    scale = base_freq / orig_freq
+    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t)) * window * scale
+    # kernels: (new_freq, kernel_width); conv weight WIO with new_freq outputs.
+    wio = kernels.T[:, None, :].astype(np.float32)  # (width_total, 1, new_freq)
+    return wio, width
+
+
+class KaiserResampler:
+    """Resampler from ``orig_freq`` to ``new_freq`` (channels-last audio)."""
+
+    def __init__(
+        self,
+        orig_freq: int,
+        new_freq: int,
+        lowpass_filter_width: int = _LOWPASS_FILTER_WIDTH,
+        rolloff: float = _ROLLOFF,
+        beta: float = _KAISER_BETA,
+    ):
+        gcd = math.gcd(int(orig_freq), int(new_freq))
+        self.orig_freq = int(orig_freq) // gcd
+        self.new_freq = int(new_freq) // gcd
+        self.identity = self.orig_freq == self.new_freq
+        if not self.identity:
+            kernel, width = _design_kernel(
+                self.orig_freq, self.new_freq, lowpass_filter_width, rolloff, beta
+            )
+            self.kernel = jnp.asarray(kernel)
+            self.width = width
+
+    def output_length(self, input_length: int) -> int:
+        return int(math.ceil(self.new_freq * input_length / self.orig_freq))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Resample (..., T) or NWC (B, T, 1) along the time axis."""
+        if self.identity:
+            return x
+        squeeze_channel = False
+        if x.ndim == 3 and x.shape[-1] == 1:
+            x = x[..., 0]
+            squeeze_channel = True
+        lead_shape = x.shape[:-1]
+        length = x.shape[-1]
+        flat = x.reshape((-1, length, 1))
+        num_wins = int(math.ceil(length / self.orig_freq))
+        pad_right = self.width + self.orig_freq + num_wins * self.orig_freq - length
+        y = conv1d(
+            flat,
+            self.kernel,
+            stride=self.orig_freq,
+            padding=(self.width, pad_right),
+        )  # (B, num_wins(+1), new_freq) phases in channel dim
+        y = y[:, :num_wins, :].reshape(flat.shape[0], -1)
+        y = y[:, : self.output_length(length)]
+        y = y.reshape(lead_shape + (y.shape[-1],))
+        if squeeze_channel:
+            y = y[..., None]
+        return y
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_resampler(orig_freq: int, new_freq: int) -> KaiserResampler:
+    return KaiserResampler(orig_freq, new_freq)
+
+
+def resample(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
+    """One-shot functional resample with a cached kernel."""
+    return _cached_resampler(int(orig_freq), int(new_freq))(x)

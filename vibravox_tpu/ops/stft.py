@@ -1,0 +1,184 @@
+"""STFT and multi-resolution STFT loss (XLA-native).
+
+Replaces the reference's delegated ``auraloss.freq.MultiResolutionSTFTLoss``
+(configured at ``configs/lightning_module/loss_module/multi_stft.yaml``:
+fft 512/1024/2048, hop 50/120/240, win 240/600/1200, perceptual A-weighting).
+
+Design notes (TPU-first):
+  * torch.stft-compatible framing (center=True, reflect pad, Hann window
+    zero-padded to fft_size) so magnitudes match the reference loss; frames
+    are extracted with a static-strided gather that XLA lowers to cheap
+    slices, then batched rFFT.
+  * the perceptual prefilter is a 101-tap linear-phase FIR fit (firwin2) to
+    the IEC 61672 analog A-weighting response via bilinear transform —
+    re-derived from the standard, applied as one fused conv per signal.
+  * everything is jit-compatible and differentiable (this loss sits inside
+    the generator's backprop path — ``eben.py:194-211``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vibravox_tpu.ops.conv import conv1d
+
+__all__ = [
+    "hann_window",
+    "stft_magnitude",
+    "a_weighting_fir",
+    "apply_fir",
+    "stft_loss",
+    "MultiResolutionSTFTLoss",
+]
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (torch.hann_window default)."""
+    n = jnp.arange(win_length, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / win_length)
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(B, T) -> (B, n_frames, frame_length) with static start offsets."""
+    n_frames = 1 + (x.shape[-1] - frame_length) // hop
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :])
+    return x[..., idx]
+
+
+def stft_magnitude(
+    x: jnp.ndarray,
+    fft_size: int,
+    hop: int,
+    win_length: int,
+    window: jnp.ndarray | None = None,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Magnitude STFT matching ``torch.stft(center=True, pad_mode='reflect')``.
+
+    x: (B, T) -> (B, n_frames, fft_size // 2 + 1)
+    """
+    if window is None:
+        window = hann_window(win_length, x.dtype)
+    # center the window inside the fft frame like torch.stft
+    pad_l = (fft_size - win_length) // 2
+    window_padded = jnp.pad(window, (pad_l, fft_size - win_length - pad_l))
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(fft_size // 2, fft_size // 2)], mode="reflect")
+    frames = frame_signal(x, fft_size, hop) * window_padded
+    spec = jnp.fft.rfft(frames, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.sqrt(jnp.clip(power, min=eps))
+
+
+# --------------------------------------------------------------------------- #
+# A-weighting perceptual prefilter
+# --------------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=None)
+def a_weighting_fir(sample_rate: int, ntaps: int = 101) -> np.ndarray:
+    """Linear-phase FIR approximation of IEC 61672 A-weighting.
+
+    Analog transfer function poles at f1..f4 with +2.0 dB gain normalisation
+    at 1 kHz, discretised by bilinear transform, then fit with ``firwin2``.
+    """
+    from scipy import signal as sps
+
+    f1, f2, f3, f4 = 20.598997, 107.65265, 737.86223, 12194.217
+    a1000 = 1.9997
+    num = [(2 * np.pi * f4) ** 2 * 10 ** (a1000 / 20), 0, 0, 0, 0]
+    den = np.polymul(
+        [1, 4 * np.pi * f4, (2 * np.pi * f4) ** 2],
+        [1, 4 * np.pi * f1, (2 * np.pi * f1) ** 2],
+    )
+    den = np.polymul(np.polymul(den, [1, 2 * np.pi * f3]), [1, 2 * np.pi * f2])
+    b, a = sps.bilinear(num, den, fs=sample_rate)
+    w = np.linspace(0, sample_rate / 2, 512)
+    _, h = sps.freqz(b, a, worN=w, fs=sample_rate)
+    taps = sps.firwin2(ntaps, w, np.abs(h), fs=sample_rate)
+    return taps.astype(np.float32)
+
+
+def apply_fir(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Filter (B, T) with a linear-phase FIR, 'same' output length."""
+    w = taps[::-1][:, None, None]  # (k, 1, 1): true convolution
+    y = conv1d(x[:, :, None], w, padding=(taps.shape[0] // 2, (taps.shape[0] - 1) // 2))
+    return y[:, :, 0]
+
+
+# --------------------------------------------------------------------------- #
+# Losses
+# --------------------------------------------------------------------------- #
+
+
+def spectral_convergence(x_mag: jnp.ndarray, y_mag: jnp.ndarray) -> jnp.ndarray:
+    """|| |Y|-|X| ||_F / || |Y| ||_F per batch element, then mean."""
+    num = jnp.sqrt(jnp.sum((y_mag - x_mag) ** 2, axis=(-2, -1)))
+    den = jnp.sqrt(jnp.sum(y_mag**2, axis=(-2, -1)))
+    return jnp.mean(num / den)
+
+
+def log_magnitude_l1(x_mag: jnp.ndarray, y_mag: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
+
+
+def stft_loss(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    fft_size: int,
+    hop: int,
+    win_length: int,
+    window: jnp.ndarray,
+    w_sc: float = 1.0,
+    w_log_mag: float = 1.0,
+) -> jnp.ndarray:
+    x_mag = stft_magnitude(x, fft_size, hop, win_length, window)
+    y_mag = stft_magnitude(y, fft_size, hop, win_length, window)
+    return w_sc * spectral_convergence(x_mag, y_mag) + w_log_mag * log_magnitude_l1(x_mag, y_mag)
+
+
+class MultiResolutionSTFTLoss:
+    """Multi-resolution STFT loss with optional perceptual (A-)weighting.
+
+    Drop-in functional replacement for the auraloss module the reference
+    configures; callable on channels-last audio ``(B, T, 1)`` or ``(B, T)``.
+    """
+
+    def __init__(
+        self,
+        fft_sizes: Sequence[int] = (1024, 2048, 512),
+        hop_sizes: Sequence[int] = (120, 240, 50),
+        win_lengths: Sequence[int] = (600, 1200, 240),
+        sample_rate: int | None = None,
+        perceptual_weighting: bool = False,
+        w_sc: float = 1.0,
+        w_log_mag: float = 1.0,
+    ):
+        assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
+        self.resolutions: Tuple[Tuple[int, int, int], ...] = tuple(
+            zip(map(int, fft_sizes), map(int, hop_sizes), map(int, win_lengths))
+        )
+        self.windows = [hann_window(w) for _, _, w in self.resolutions]
+        self.w_sc = float(w_sc)
+        self.w_log_mag = float(w_log_mag)
+        self.perceptual_weighting = bool(perceptual_weighting)
+        if self.perceptual_weighting:
+            if sample_rate is None:
+                raise ValueError("sample_rate required for perceptual weighting")
+            self.prefilter_taps = jnp.asarray(a_weighting_fir(int(sample_rate)))
+
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 3:  # (B, T, C) -> fold channels into batch
+            x = x.reshape(-1, x.shape[1]) if x.shape[2] == 1 else jnp.moveaxis(x, 2, 1).reshape(-1, x.shape[1])
+            y = y.reshape(-1, y.shape[1]) if y.shape[2] == 1 else jnp.moveaxis(y, 2, 1).reshape(-1, y.shape[1])
+        if self.perceptual_weighting:
+            x = apply_fir(x, self.prefilter_taps)
+            y = apply_fir(y, self.prefilter_taps)
+        loss = 0.0
+        for (fft, hop, win), window in zip(self.resolutions, self.windows):
+            loss = loss + stft_loss(x, y, fft, hop, win, window, self.w_sc, self.w_log_mag)
+        return loss / len(self.resolutions)

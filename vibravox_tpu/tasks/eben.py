@@ -1,0 +1,348 @@
+"""EBEN GAN training task: jit-compiled train/eval steps.
+
+TPU-native re-design of the reference's Lightning module with manual
+optimization (``vibravox/lightning_modules/eben.py:9-240``):
+
+  * one ``train_step(state, batch) -> (state, logs)`` pure function, fully
+    jit-compiled and donate-able, replacing the generator-then-discriminator
+    manual optimization sequence;
+  * dynamic loss balancing: per-atomic-loss gradient norms w.r.t. the
+    generator's last conv kernel (the reference's ``autograd.grad(loss,
+    last_conv.weight, retain_graph=True)`` — ``eben.py:222-240``) become one
+    ``jax.jacrev`` of the stacked atomic losses w.r.t. that kernel, taken
+    through the generator *tail* only (last conv → tanh → synthesis →
+    discriminator) so the encoder/decoder are not re-traversed;
+  * EMA of the norms is carried in the train state (not a python-side
+    attribute), β and the simple/ema/none mode per the reference;
+  * the discriminator step reuses the generator-step outputs through
+    ``stop_gradient`` (the reference's ``.detach()`` — ``eben.py:213-217``)
+    and is gated by a Bernoulli draw with ``update_discriminator_ratio``;
+  * both Adam updates run inside the same jit; the discriminator update is
+    selected with a mask so the compiled step has a single static shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from vibravox_tpu.models.eben_discriminator import DiscriminatorEBENMultiScales
+from vibravox_tpu.models.eben_generator import EBENGenerator
+
+__all__ = ["EBENTask", "EBENTrainState"]
+
+
+class EBENTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any
+    disc_params: Any
+    gen_opt_state: Any
+    disc_opt_state: Any
+    atomic_norms_ema: jnp.ndarray  # (n_atomic_losses,)
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class EBENTask:
+    """Bundles networks, losses, optimizers and the compiled step functions.
+
+    Mirrors the constructor surface of ``EBENLightningModule``
+    (``eben.py:10-50``); loss callables are optional and the set of atomic
+    losses adapts accordingly, like the reference's ``compute_atomic_losses``.
+    """
+
+    sample_rate: int
+    generator: EBENGenerator
+    discriminator: DiscriminatorEBENMultiScales
+    generator_optimizer: optax.GradientTransformation
+    discriminator_optimizer: optax.GradientTransformation
+    reconstructive_loss_freq_fn: Optional[Callable] = None
+    reconstructive_loss_time_fn: Optional[Callable] = None
+    feature_matching_loss_fn: Optional[Callable] = None
+    adversarial_loss_fn: Optional[Callable] = None
+    dynamic_loss_balancing: Optional[str] = None  # None | "simple" | "ema"
+    beta_ema: float = 0.9
+    update_discriminator_ratio: float = 1.0
+    description: Optional[str] = None
+
+    def __post_init__(self):
+        assert self.dynamic_loss_balancing in {None, "simple", "ema"}
+        assert 0 <= self.update_discriminator_ratio <= 1
+
+    # ------------------------------------------------------------------ #
+    # state
+    # ------------------------------------------------------------------ #
+
+    @property
+    def atomic_loss_names(self) -> Tuple[str, ...]:
+        names = []
+        if self.reconstructive_loss_freq_fn is not None:
+            names.append("reconstructive_loss_freq")
+        if self.reconstructive_loss_time_fn is not None:
+            names.append("reconstructive_loss_temp")
+        if self.feature_matching_loss_fn is not None:
+            names.append("feature_matching_loss")
+        if self.adversarial_loss_fn is not None:
+            names.append("adv_loss_gen")
+        return tuple(names)
+
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray]) -> EBENTrainState:
+        k_gen, k_disc, k_state = jax.random.split(rng, 3)
+        corrupted = self.generator.cut_to_valid_length(example_batch["audio_body_conducted"])
+        gen_params = self.generator.init(k_gen, corrupted)
+        enhanced, decomposed = self.generator.apply(gen_params, corrupted)
+        disc_params = self.discriminator.init(k_disc, decomposed, enhanced)
+        return EBENTrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt_state=self.generator_optimizer.init(gen_params),
+            disc_opt_state=self.discriminator_optimizer.init(disc_params),
+            atomic_norms_ema=jnp.zeros((len(self.atomic_loss_names),), jnp.float32),
+            rng=k_state,
+        )
+
+    # ------------------------------------------------------------------ #
+    # losses
+    # ------------------------------------------------------------------ #
+
+    def _generator_atomic_losses(
+        self,
+        disc_params: Any,
+        enhanced: jnp.ndarray,
+        reference: jnp.ndarray,
+        decomposed_enhanced: jnp.ndarray,
+        decomposed_reference: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Generator-side atomic losses (ref ``compute_atomic_losses`` —
+        ``eben.py:194-211``)."""
+        losses: Dict[str, jnp.ndarray] = {}
+        if self.reconstructive_loss_freq_fn is not None:
+            losses["reconstructive_loss_freq"] = self.reconstructive_loss_freq_fn(
+                enhanced, reference
+            )
+        if self.reconstructive_loss_time_fn is not None:
+            losses["reconstructive_loss_temp"] = self.reconstructive_loss_time_fn(
+                enhanced, reference
+            )
+        if self.feature_matching_loss_fn is not None or self.adversarial_loss_fn is not None:
+            enhanced_emb = self.discriminator.apply(
+                disc_params, decomposed_enhanced, enhanced
+            )
+            if self.feature_matching_loss_fn is not None:
+                reference_emb = self.discriminator.apply(
+                    disc_params, decomposed_reference, reference
+                )
+                losses["feature_matching_loss"] = self.feature_matching_loss_fn(
+                    enhanced_emb, reference_emb
+                )
+            if self.adversarial_loss_fn is not None:
+                losses["adv_loss_gen"] = self.adversarial_loss_fn(enhanced_emb, 1)
+        return losses
+
+    def _discriminator_atomic_losses(
+        self,
+        disc_params: Any,
+        enhanced: jnp.ndarray,
+        reference: jnp.ndarray,
+        decomposed_enhanced: jnp.ndarray,
+        decomposed_reference: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Discriminator-side hinge losses on detached generator outputs
+        (ref ``eben.py:212-219``)."""
+        if self.adversarial_loss_fn is None:
+            return {}
+        enhanced_emb = self.discriminator.apply(
+            disc_params,
+            jax.lax.stop_gradient(decomposed_enhanced),
+            jax.lax.stop_gradient(enhanced),
+        )
+        reference_emb = self.discriminator.apply(
+            disc_params, decomposed_reference, reference
+        )
+        return {
+            "real_loss": self.adversarial_loss_fn(reference_emb, 1),
+            "fake_loss": self.adversarial_loss_fn(enhanced_emb, -1),
+        }
+
+    # ------------------------------------------------------------------ #
+    # dynamic loss balancing
+    # ------------------------------------------------------------------ #
+
+    def _balancing_lambdas(
+        self,
+        state: EBENTrainState,
+        features: jnp.ndarray,
+        first_bands: jnp.ndarray,
+        reference: jnp.ndarray,
+        decomposed_reference: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """λ_i = clip(1/(‖∂L_i/∂W_last‖ + 1e-4), 0, 1e4) with optional EMA.
+
+        The jacobian is taken through the generator tail only: W_last only
+        reaches the losses via tail → discriminator, so this equals the
+        reference's full-graph ``autograd.grad(L_i, last_conv.weight)``.
+        """
+        features = jax.lax.stop_gradient(features)
+        first_bands = jax.lax.stop_gradient(first_bands)
+        last_kernel = state.gen_params["params"]["last_conv"]["kernel"]
+
+        def stacked_losses(kernel):
+            gp = jax.tree_util.tree_map(lambda x: x, state.gen_params)  # shallow copy
+            gp = {
+                "params": {
+                    **gp["params"],
+                    "last_conv": {**gp["params"]["last_conv"], "kernel": kernel},
+                }
+            }
+            enhanced, decomposed = self.generator.apply(
+                gp, features, first_bands, method="tail"
+            )
+            losses = self._generator_atomic_losses(
+                state.disc_params, enhanced, reference, decomposed, decomposed_reference
+            )
+            return jnp.stack([losses[k] for k in self.atomic_loss_names])
+
+        jac = jax.jacrev(stacked_losses)(last_kernel)  # (n_losses, *kernel)
+        norms = jnp.sqrt(jnp.sum(jac.reshape(jac.shape[0], -1) ** 2, axis=-1))
+
+        if self.dynamic_loss_balancing == "ema":
+            ema = jnp.where(
+                state.step == 0,
+                norms,
+                self.beta_ema * state.atomic_norms_ema + (1 - self.beta_ema) * norms,
+            )
+        else:  # "simple"
+            ema = norms
+        lambdas = jnp.clip(1.0 / (ema + 1e-4), 0.0, 1e4)
+        return jax.lax.stop_gradient(lambdas), ema
+
+    # ------------------------------------------------------------------ #
+    # train / eval steps (jit these at the trainer level)
+    # ------------------------------------------------------------------ #
+
+    def train_step(
+        self, state: EBENTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[EBENTrainState, Dict[str, jnp.ndarray]]:
+        """One GAN step: balanced generator update, gated discriminator update."""
+        rng, k_gate = jax.random.split(state.rng)
+        corrupted = self.generator.cut_to_valid_length(batch["audio_body_conducted"])
+        reference = self.generator.cut_to_valid_length(batch["audio_airborne"])
+        decomposed_reference = self.generator.pqmf.analysis(reference)
+
+        logs: Dict[str, jnp.ndarray] = {}
+
+        # ---- dynamic loss balancing (outside the main grad) ----
+        if self.dynamic_loss_balancing is not None:
+            features, first_bands = self.generator.apply(
+                state.gen_params, corrupted, method="front"
+            )
+            lambdas, norms_ema = self._balancing_lambdas(
+                state, features, first_bands, reference, decomposed_reference
+            )
+        else:
+            lambdas = jnp.ones((len(self.atomic_loss_names),))
+            norms_ema = state.atomic_norms_ema
+
+        # ---- generator update ----
+        def gen_loss_fn(gen_params):
+            enhanced, decomposed = self.generator.apply(gen_params, corrupted)
+            atomic = self._generator_atomic_losses(
+                state.disc_params, enhanced, reference, decomposed, decomposed_reference
+            )
+            stacked = jnp.stack([atomic[k] for k in self.atomic_loss_names])
+            total = jnp.sum(lambdas * stacked)
+            return total, (atomic, enhanced, decomposed)
+
+        (gen_total, (gen_atomic, enhanced, decomposed)), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(state.gen_params)
+        gen_updates, gen_opt_state = self.generator_optimizer.update(
+            gen_grads, state.gen_opt_state, state.gen_params
+        )
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        for k, v in gen_atomic.items():
+            logs[f"train/generator/{k}"] = v
+        logs["train/generator/backprop_loss"] = gen_total
+
+        # ---- discriminator update (Bernoulli-gated) ----
+        if self.adversarial_loss_fn is not None:
+            def disc_loss_fn(disc_params):
+                atomic = self._discriminator_atomic_losses(
+                    disc_params, enhanced, reference, decomposed, decomposed_reference
+                )
+                return atomic["real_loss"] + atomic["fake_loss"], atomic
+
+            (disc_total, disc_atomic), disc_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(state.disc_params)
+            update_gate = (
+                jax.random.uniform(k_gate, ()) < self.update_discriminator_ratio
+            )
+            gated_grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(update_gate, g, jnp.zeros_like(g)), disc_grads
+            )
+            disc_updates, new_disc_opt_state = self.discriminator_optimizer.update(
+                gated_grads, state.disc_opt_state, state.disc_params
+            )
+            # freeze both params and optimizer state when the gate is closed
+            disc_params = jax.tree_util.tree_map(
+                lambda p, u: jnp.where(update_gate, p + u, p),
+                state.disc_params,
+                disc_updates,
+            )
+            disc_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(update_gate, new, old),
+                new_disc_opt_state,
+                state.disc_opt_state,
+            )
+            for k, v in disc_atomic.items():
+                logs[f"train/discriminator/{k}"] = v
+            logs["train/discriminator/backprop_loss"] = disc_total
+        else:
+            disc_params = state.disc_params
+            disc_opt_state = state.disc_opt_state
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt_state=gen_opt_state,
+            disc_opt_state=disc_opt_state,
+            atomic_norms_ema=norms_ema,
+            rng=rng,
+        )
+        return new_state, logs
+
+    def eval_step(
+        self, state: EBENTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        """Forward + both nets' losses; returns outputs for metric computation
+        (ref ``common_eval_step`` — ``eben.py:132-165``)."""
+        corrupted = self.generator.cut_to_valid_length(batch["audio_body_conducted"])
+        enhanced, decomposed = self.generator.apply(state.gen_params, corrupted)
+        outputs: Dict[str, jnp.ndarray] = {"corrupted": corrupted, "enhanced": enhanced}
+        logs: Dict[str, jnp.ndarray] = {}
+        if "audio_airborne" in batch:
+            reference = self.generator.cut_to_valid_length(batch["audio_airborne"])
+            decomposed_reference = self.generator.pqmf.analysis(reference)
+            outputs["reference"] = reference
+            gen_atomic = self._generator_atomic_losses(
+                state.disc_params, enhanced, reference, decomposed, decomposed_reference
+            )
+            disc_atomic = self._discriminator_atomic_losses(
+                state.disc_params, enhanced, reference, decomposed, decomposed_reference
+            )
+            for k, v in gen_atomic.items():
+                logs[f"generator/{k}"] = v
+            for k, v in disc_atomic.items():
+                logs[f"discriminator/{k}"] = v
+        outputs["logs"] = logs
+        return outputs
