@@ -1,0 +1,106 @@
+"""Benchmark: EBEN BWE GAN training throughput (audio-seconds/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline configuration mirrors the reference's BWE recipe
+(``configs/lightning_datamodule/bwe.yaml``: batch 32 × 2.5 s audio @ 16 kHz)
+with the full GAN step: EBEN generator fwd/bwd, multi-scale discriminators,
+multi-res STFT + feature-matching + hinge losses, EMA dynamic loss
+balancing, both Adam updates — all in one jit.
+
+``vs_baseline`` is the ratio against a measured PyTorch-reference
+throughput stored in BENCH_BASELINE.json (key ``torch_reference_audio_sec_per_sec``);
+null until that measurement exists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vibravox_tpu.losses.gan import FeatureMatchingLoss, HingeLoss
+    from vibravox_tpu.models.eben_discriminator import DiscriminatorEBENMultiScales
+    from vibravox_tpu.models.eben_generator import EBENGenerator
+    from vibravox_tpu.ops.stft import MultiResolutionSTFTLoss
+    from vibravox_tpu.parallel.mesh import DataParallel, build_mesh
+    from vibravox_tpu.tasks.eben import EBENTask
+
+    sample_rate = 16000
+    batch_size = 32
+    seconds = 2.5
+
+    task = EBENTask(
+        sample_rate=sample_rate,
+        generator=EBENGenerator(m=4, n=32, p=2),
+        discriminator=DiscriminatorEBENMultiScales(q=4, min_channels=24),
+        generator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
+        discriminator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
+        reconstructive_loss_freq_fn=MultiResolutionSTFTLoss(
+            (512, 1024, 2048), (50, 120, 240), (240, 600, 1200),
+            sample_rate=sample_rate, perceptual_weighting=True,
+        ),
+        feature_matching_loss_fn=FeatureMatchingLoss(),
+        adversarial_loss_fn=HingeLoss(),
+        dynamic_loss_balancing="ema",
+    )
+
+    t_samples = task.generator.valid_length(int(seconds * sample_rate))
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio_body_conducted": jnp.asarray(
+            rng.standard_normal((batch_size, t_samples, 1)).astype(np.float32) * 0.1
+        ),
+        "audio_airborne": jnp.asarray(
+            rng.standard_normal((batch_size, t_samples, 1)).astype(np.float32) * 0.1
+        ),
+    }
+
+    n_chips = jax.device_count()
+    dp = DataParallel(task, build_mesh())
+    state = dp.init_state(jax.random.key(0), batch)
+
+    # warmup (compile)
+    for _ in range(3):
+        state, logs = dp.train_step(state, batch)
+    jax.block_until_ready(state)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, logs = dp.train_step(state, batch)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n_steps
+
+    audio_seconds = batch_size * t_samples / sample_rate
+    throughput = audio_seconds / dt / n_chips
+
+    baseline_path = Path(__file__).parent / "BENCH_BASELINE.json"
+    vs_baseline = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        ref = base.get("torch_reference_audio_sec_per_sec")
+        if ref:
+            vs_baseline = throughput / float(ref)
+
+    print(
+        json.dumps(
+            {
+                "metric": "eben_gan_train_throughput",
+                "value": round(throughput, 3),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Entry point: config-composed training/eval runs.
+
+The exact CLI surface of the reference (``/root/reference/run.py:25-53``):
+
+    python run.py lightning_datamodule=bwe lightning_module=eben \
+        lightning_datamodule.sensor=throat_microphone ++trainer.max_epochs=500
+
+composes ``configs/run.yaml``, instantiates the datamodule / task / trainer /
+callbacks / logger, seeds everything, runs fit then test(ckpt="last") —
+backed by the JAX trainer instead of Lightning.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+CONFIG_DIR = Path(__file__).resolve().parent / "configs"
+
+
+def setup_environment() -> None:
+    """Warnings / env hygiene (the JAX analog of ``run.py:56-74``)."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")
+
+
+def main(argv=None) -> dict:
+    setup_environment()
+    from vibravox_tpu.core.config import compose, instantiate
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = compose(CONFIG_DIR, "run", overrides)
+
+    if cfg.get("lightning_datamodule") in (None, {}):
+        raise SystemExit("lightning_datamodule must be overridden (e.g. lightning_datamodule=bwe)")
+    if cfg.get("lightning_module") in (None, {}):
+        raise SystemExit("lightning_module must be overridden (e.g. lightning_module=eben)")
+
+    # hydra.job.chdir equivalent: each run owns a fresh cwd so checkpoints,
+    # tensorboard dirs and CSVs are relative (``configs/run.yaml:10-12`` there)
+    run_dir = Path(cfg.get("run_dir", "outputs/run/default"))
+    run_dir.mkdir(parents=True, exist_ok=True)
+    old_cwd = os.getcwd()
+    os.chdir(run_dir)
+    try:
+        datamodule = instantiate(cfg.lightning_datamodule)
+        task = instantiate(cfg.lightning_module)
+
+        callbacks = cfg.get("callbacks") or {}
+        checkpoint = instantiate(callbacks["checkpoint"]) if "checkpoint" in callbacks else None
+        logging_cfg = cfg.get("logging") or {}
+        logger = instantiate(logging_cfg["logger"]) if "logger" in logging_cfg else None
+
+        trainer = instantiate(cfg.trainer, checkpoint=checkpoint, logger=logger)
+
+        trainer.fit(task, datamodule)
+        metrics = trainer.test(task, datamodule, ckpt_path="last")
+        return metrics
+    finally:
+        os.chdir(old_cwd)
+
+
+if __name__ == "__main__":
+    main()

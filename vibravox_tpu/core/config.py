@@ -110,9 +110,28 @@ def _merge(dst: Config, src: Dict[str, Any]) -> Config:
 # --------------------------------------------------------------------------- #
 
 
+class _Yaml12Loader(yaml.SafeLoader):
+    """SafeLoader with YAML 1.2 float resolution (``3e-4`` is a float, as
+    Hydra/OmegaConf treat it; pyyaml's 1.1 resolver requires a dot)."""
+
+
+_Yaml12Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9][0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def _load_yaml(path: Path) -> Config:
     with open(path) as f:
-        data = yaml.safe_load(f)
+        data = yaml.load(f, Loader=_Yaml12Loader)
     if data is None:
         data = {}
     if not isinstance(data, dict):
@@ -130,7 +149,7 @@ def _parse_value(text: str) -> Any:
     if text == "":
         return ""
     try:
-        return yaml.safe_load(text)
+        return yaml.load(text, Loader=_Yaml12Loader)
     except yaml.YAMLError:
         return text
 
@@ -340,17 +359,15 @@ def compose(
             if isinstance(parent, dict):
                 parent.pop(parts[-1], None)
             continue
-        if isinstance(o.value, str) and o.key in composer.choices.keys() | {
-            k for k in (o.key,) if (Path(config_dir) / o.group.replace(".", "/")).is_dir()
-        }:
-            # group override — already consumed during composition
-            if (Path(config_dir) / o.group.replace(".", "/")).is_dir():
-                continue
+        if (Path(config_dir) / o.group.replace(".", "/")).is_dir():
+            continue  # group override — already consumed during composition
         if o.add and cfg.has_path(o.key):
             raise ValueError(f"Override '+{o.key}' but key already exists; use '++'")
         cfg.set_path(o.key, _wrap(o.value))
 
-    cfg["hydra_runtime"] = _wrap({"choices": {k.replace("/", "."): v for k, v in composer.choices.items()}})
+    cfg["hydra_runtime"] = _wrap(
+        {"runtime": {"choices": {k.replace("/", "."): v for k, v in composer.choices.items()}}}
+    )
     if resolve_interpolations:
         resolve(cfg)
     cfg.pop("hydra_runtime", None)

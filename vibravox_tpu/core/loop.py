@@ -1,0 +1,179 @@
+"""Trainer: the explicit jit-compiled train/eval loop.
+
+Replaces the Lightning ``Trainer`` + hook machinery (``run.py:39-53``) with
+a small explicit loop: batches stream from the host loader, the task's pure
+``train_step`` runs jitted over the device mesh (data-parallel sharding via
+``DataParallel``), validation runs every N epochs, checkpoints follow the
+monitor/top-k/last semantics, and ``test(ckpt_path='last')`` reloads and
+evaluates like the reference's post-fit test pass.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from vibravox_tpu.core.checkpoint import CheckpointManager
+from vibravox_tpu.core.logging import Logger, NoOpLogger
+from vibravox_tpu.parallel.mesh import DataParallel, MeshConfig, build_mesh
+
+__all__ = ["Trainer"]
+
+
+def _as_float_logs(logs: Dict[str, Any]) -> Dict[str, float]:
+    return {k: float(v) for k, v in logs.items()}
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int = 1,
+        check_val_every_n_epoch: int = 1,
+        log_every_n_steps: int = 100,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        limit_test_batches: Optional[int] = None,
+        checkpoint: Optional[CheckpointManager] = None,
+        logger: Optional[Logger] = None,
+        mesh: Optional[MeshConfig] = None,
+        seed: int = 42,
+        profile_dir: Optional[str] = None,
+        num_audio_logs: int = 15,
+    ):
+        self.max_epochs = max_epochs
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.log_every_n_steps = log_every_n_steps
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        self.checkpoint = checkpoint
+        self.logger = logger or NoOpLogger()
+        self.mesh_config = mesh if isinstance(mesh, MeshConfig) else MeshConfig(**(mesh or {}))
+        self.seed = seed
+        self.profile_dir = profile_dir
+        self.num_audio_logs = num_audio_logs
+
+        self.state = None
+        self.global_step = 0
+        self.current_epoch = 0
+        self._dp: Optional[DataParallel] = None
+        self._num_val_runs = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _ensure_dp(self, task) -> DataParallel:
+        if self._dp is None:
+            self._dp = DataParallel(task, build_mesh(self.mesh_config))
+        return self._dp
+
+    def fit(self, task, datamodule) -> None:
+        datamodule.setup("fit")
+        dp = self._ensure_dp(task)
+        train_loader = datamodule.train_dataloader()
+
+        # init (or resume) state from an example batch
+        example = next(iter(train_loader))
+        if self.state is None:
+            self.state = dp.init_state(jax.random.key(self.seed), example)
+            if self.checkpoint is not None and self.checkpoint.has_last():
+                self.state = self.checkpoint.restore(self.state, "last")
+
+        if getattr(task, "description", None):
+            self.logger.log_text("description", task.description)
+
+        for epoch in range(self.current_epoch, self.max_epochs):
+            self.current_epoch = epoch
+            epoch_t0 = time.perf_counter()
+            audio_seconds = 0.0
+            for i, batch in enumerate(train_loader):
+                if self.limit_train_batches is not None and i >= self.limit_train_batches:
+                    break
+                if self.profile_dir and self.global_step == 8:
+                    jax.profiler.start_trace(self.profile_dir)
+                self.state, logs = dp.train_step(self.state, batch)
+                if self.profile_dir and self.global_step == 10:
+                    jax.block_until_ready(self.state)
+                    jax.profiler.stop_trace()
+                x = batch["audio_body_conducted"]
+                audio_seconds += x.shape[0] * x.shape[1] / task.sample_rate
+                if self.global_step % self.log_every_n_steps == 0:
+                    self.logger.log_scalars(_as_float_logs(logs), self.global_step)
+                self.global_step += 1
+            jax.block_until_ready(self.state)
+            wall = time.perf_counter() - epoch_t0
+            self.logger.log_scalars(
+                {
+                    "train/epoch_wall_seconds": wall,
+                    "train/audio_seconds_per_second": audio_seconds / max(wall, 1e-9),
+                },
+                self.global_step,
+            )
+
+            val_metrics: Dict[str, float] = {}
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val_metrics = self._evaluate(task, datamodule.val_dataloader(), "validation")
+            if self.checkpoint is not None:
+                self.checkpoint.save(self.state, self.global_step, val_metrics)
+        self.logger.flush()
+
+    # ------------------------------------------------------------------ #
+
+    def _evaluate(self, task, loaders, stage: str) -> Dict[str, float]:
+        dp = self._ensure_dp(task)
+        self._num_val_runs += 1
+        if not isinstance(loaders, dict):
+            loaders = {"": loaders}
+        limit = self.limit_val_batches if stage == "validation" else self.limit_test_batches
+        all_metrics: Dict[str, float] = {}
+        for dl_name, loader in loaders.items():
+            suffix = f"/{dl_name}" if dl_name else ""
+            sums: Dict[str, float] = {}
+            count = 0
+            for i, batch in enumerate(loader):
+                if limit is not None and i >= limit:
+                    break
+                outputs = dp.eval_step(self.state, batch)
+                logs = outputs.pop("logs", {})
+                metrics = task.eval_metrics(outputs) if hasattr(task, "eval_metrics") else {}
+                for k, v in {**_as_float_logs(logs), **metrics}.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                count += 1
+                if i < self.num_audio_logs and stage in ("validation", "test"):
+                    self._log_audio(task, outputs, stage, dl_name, i)
+            if count:
+                for k, v in sums.items():
+                    all_metrics[f"{stage}/{k}{suffix}"] = v / count
+        if all_metrics:
+            self.logger.log_scalars(all_metrics, self.global_step)
+        return all_metrics
+
+    def _log_audio(self, task, outputs, stage: str, dl_name: str, batch_idx: int) -> None:
+        prefix = f"{stage}_{dl_name}_" if dl_name else f"{stage}_"
+        for tier in ("enhanced", "corrupted", "reference"):
+            if tier in outputs:
+                audio = np.asarray(outputs[tier])[0]
+                self.logger.log_audio(
+                    f"{prefix}{batch_idx}/{tier}", audio, self._num_val_runs,
+                    task.sample_rate,
+                )
+
+    # ------------------------------------------------------------------ #
+
+    def test(self, task, datamodule, ckpt_path: Optional[str] = "last") -> Dict[str, float]:
+        datamodule.setup("test")
+        dp = self._ensure_dp(task)
+        if self.state is None:
+            example = next(iter(self._first_loader(datamodule.test_dataloader())))
+            self.state = dp.init_state(jax.random.key(self.seed), example)
+        if ckpt_path and self.checkpoint is not None and self.checkpoint.has_last():
+            self.state = self.checkpoint.restore(self.state, ckpt_path)
+        metrics = self._evaluate(task, datamodule.test_dataloader(), "test")
+        self.logger.flush()
+        return metrics
+
+    @staticmethod
+    def _first_loader(loaders):
+        return next(iter(loaders.values())) if isinstance(loaders, dict) else loaders

@@ -1,0 +1,98 @@
+"""Host-side data loader: batching, shuffling, background prefetch.
+
+Replaces torch ``DataLoader`` workers (``bwe.py:149-181``) with a simple
+threaded prefetcher: collate on a worker thread while the device computes
+the previous step, hiding the host time behind TPU time.  Per-host sharding
+(`process_index`) slices the index space so multi-host data parallel reads
+disjoint data — the reference reloads the full dataset on every rank.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["DataLoader"]
+
+
+class DataLoader:
+    def __init__(
+        self,
+        source,
+        collate_fn: Callable,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+        shard_by_process: bool = True,
+    ):
+        self.source = source
+        self.collate_fn = collate_fn
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.epoch = 0
+        if shard_by_process and jax.process_count() > 1:
+            self.process_slice = (jax.process_index(), jax.process_count())
+        else:
+            self.process_slice = (0, 1)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.source)
+        idx = np.arange(n)
+        if self.shuffle:
+            # reseed per epoch deterministically
+            rng = np.random.default_rng(self.rng.integers(2**31) + self.epoch)
+            rng.shuffle(idx)
+        rank, world = self.process_slice
+        return idx[rank::world]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start : start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield self.collate_fn([self.source[int(i)] for i in chunk])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except Exception as e:  # surface loader errors on the main thread
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]

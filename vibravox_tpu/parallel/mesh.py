@@ -1,0 +1,108 @@
+"""Device mesh construction and sharding strategy.
+
+The reference's entire parallelism story is Lightning DDP over NCCL
+(``configs/trainer/ddp.yaml:4-8``); the TPU-native equivalent (SURVEY §2.5)
+is a named ``jax.sharding.Mesh`` over ICI with batch-sharded data and
+replicated parameters — gradients and metric reductions become XLA
+collectives inserted by the partitioner, not explicit NCCL calls.
+
+The mesh is 2-D ``(data, model)`` from day one: the reference only exercises
+data parallelism (model axis size 1), but the model axis is the designed
+extension point for tensor-parallel growth, mirroring how the reference
+exposes a ``strategy`` knob it never varies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["MeshConfig", "build_mesh", "shard_batch", "replicate", "DataParallel"]
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Declarative mesh spec, the config-side mirror of ``trainer.mesh``."""
+
+    data: int = -1   # -1: all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: Optional[int] = None) -> Dict[str, int]:
+        n = n_devices if n_devices is not None else jax.device_count()
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n // model
+        if data * model != n:
+            raise ValueError(
+                f"mesh {data}x{model} does not cover {n} devices"
+            )
+        return {"data": data, "model": model}
+
+
+def build_mesh(config: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    config = config or MeshConfig()
+    devices = list(devices) if devices is not None else jax.devices()
+    sizes = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(sizes["data"], sizes["model"])
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with the leading axis sharded over 'data'.
+
+    Batches whose leading axis does not divide the data axis (e.g. the
+    reference's batch-size-1 eval loaders — ``bwe.py:177,209``) fall back to
+    replication: correct everywhere, redundant compute on eval only.
+    """
+    data_size = mesh.shape["data"]
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % data_size == 0:
+            spec = P("data", *([None] * (np.ndim(x) - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params / train state) across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+class DataParallel:
+    """Wraps a task's step functions for jit execution over the mesh.
+
+    Parameters/state are replicated; batches are sharded on the 'data' axis.
+    Gradient all-reduces materialize automatically from the sharding
+    propagation (the jit partitioner inserts the ICI collectives), so the
+    task code stays single-device pure — this replaces DDP + ``sync_dist``
+    wholesale.
+    """
+
+    def __init__(self, task, mesh: Optional[Mesh] = None, donate_state: bool = True):
+        self.task = task
+        self.mesh = mesh or build_mesh()
+        state_sharding = NamedSharding(self.mesh, P())
+        self._train_step = jax.jit(
+            task.train_step,
+            in_shardings=(state_sharding, None),
+            out_shardings=(state_sharding, None),
+            donate_argnums=(0,) if donate_state else (),
+        )
+        self._eval_step = jax.jit(task.eval_step, in_shardings=(state_sharding, None))
+
+    def init_state(self, rng: jax.Array, example_batch: Any):
+        state = self.task.init_state(rng, example_batch)
+        return replicate(self.mesh, state)
+
+    def train_step(self, state, batch):
+        return self._train_step(state, shard_batch(self.mesh, batch))
+
+    def eval_step(self, state, batch):
+        return self._eval_step(state, shard_batch(self.mesh, batch))

@@ -74,6 +74,19 @@ class EBENTask:
     def __post_init__(self):
         assert self.dynamic_loss_balancing in {None, "simple", "ema"}
         assert 0 <= self.update_discriminator_ratio <= 1
+        # configs pass optimizer factories as partials (the reference's
+        # ``_partial_: true`` optimizer configs); materialize them here
+        for attr in ("generator_optimizer", "discriminator_optimizer"):
+            opt = getattr(self, attr)
+            if not hasattr(opt, "init") and callable(opt):
+                setattr(self, attr, opt())
+        from vibravox_tpu.tasks.se_metrics import SEMetrics
+
+        self._se_metrics = SEMetrics(self.sample_rate)
+
+    def eval_metrics(self, outputs) -> Dict[str, float]:
+        """Host-side SE metrics at 16 kHz (ref ``base_se.py:67-106``)."""
+        return self._se_metrics(outputs)
 
     # ------------------------------------------------------------------ #
     # state
