@@ -21,6 +21,9 @@ from pathlib import Path
 
 
 def main() -> None:
+    from vibravox_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,6 +53,7 @@ def main() -> None:
         feature_matching_loss_fn=FeatureMatchingLoss(),
         adversarial_loss_fn=HingeLoss(),
         dynamic_loss_balancing="ema",
+        compute_dtype="bfloat16",
     )
 
     t_samples = task.generator.valid_length(int(seconds * sample_rate))

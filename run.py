@@ -24,6 +24,13 @@ def setup_environment() -> None:
     import warnings
 
     warnings.filterwarnings("ignore")
+    # zero-egress clusters: skip hub lookups instead of retrying for 30 s
+    # (the reference's SLURM scripts set the same offline env vars)
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+    from vibravox_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")
 
 
@@ -48,6 +55,11 @@ def main(argv=None) -> dict:
     try:
         datamodule = instantiate(cfg.lightning_datamodule)
         task = instantiate(cfg.lightning_module)
+
+        # tasks that decode text share the datamodule's tokenizer (the
+        # reference reads it via trainer.datamodule — ``wav2vec2_for_stp.py:189``)
+        if getattr(task, "tokenizer", False) is None and hasattr(datamodule, "tokenizer"):
+            task.tokenizer = datamodule.tokenizer
 
         callbacks = cfg.get("callbacks") or {}
         checkpoint = instantiate(callbacks["checkpoint"]) if "checkpoint" in callbacks else None

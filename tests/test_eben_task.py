@@ -19,10 +19,11 @@ from vibravox_tpu.tasks.eben import EBENTask
 
 
 def make_task(**kwargs):
+    # small discriminator + short audio keep CPU compile times testable
     defaults = dict(
         sample_rate=16000,
         generator=EBENGenerator(m=4, n=32, p=2),
-        discriminator=DiscriminatorEBENMultiScales(q=4, min_channels=24),
+        discriminator=DiscriminatorEBENMultiScales(q=4, min_channels=8),
         generator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
         discriminator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
         reconstructive_loss_freq_fn=MultiResolutionSTFTLoss(
@@ -38,7 +39,7 @@ def make_task(**kwargs):
 
 @pytest.fixture(scope="module")
 def batch(rng_np):
-    t = 4064  # valid length for multiple=256, n=32
+    t = 4064  # valid length for multiple=256, n=32 (long enough for the dilation-3 disc)
     ref = rng_np.standard_normal((2, t, 1)).astype(np.float32) * 0.1
     return {
         "audio_body_conducted": jnp.asarray(ref * 0.5),
@@ -105,7 +106,7 @@ class TestEBENTrainStep:
         state = task.init_state(jax.random.key(2), batch)
         step = jax.jit(task.train_step)
         first = None
-        for _ in range(12):
+        for _ in range(8):
             state, logs = step(state, batch)
             loss = float(logs["train/generator/backprop_loss"])
             if first is None:

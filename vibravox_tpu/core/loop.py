@@ -74,8 +74,13 @@ class Trainer:
         dp = self._ensure_dp(task)
         train_loader = datamodule.train_dataloader()
 
-        # init (or resume) state from an example batch
-        example = next(iter(train_loader))
+        # init (or resume) state from an example batch (inference-only tasks
+        # may have an empty train loader — the reference runs those with
+        # limit_train_batches=0 and goes straight to test)
+        try:
+            example = next(iter(train_loader))
+        except StopIteration:
+            return
         if self.state is None:
             self.state = dp.init_state(jax.random.key(self.seed), example)
             if self.checkpoint is not None and self.checkpoint.has_last():
@@ -97,8 +102,9 @@ class Trainer:
                 if self.profile_dir and self.global_step == 10:
                     jax.block_until_ready(self.state)
                     jax.profiler.stop_trace()
-                x = batch["audio_body_conducted"]
-                audio_seconds += x.shape[0] * x.shape[1] / task.sample_rate
+                x = batch.get("audio_body_conducted", batch.get("audio"))
+                if x is not None:
+                    audio_seconds += x.shape[0] * x.shape[1] / task.sample_rate
                 if self.global_step % self.log_every_n_steps == 0:
                     self.logger.log_scalars(_as_float_logs(logs), self.global_step)
                 self.global_step += 1
@@ -135,17 +141,24 @@ class Trainer:
             for i, batch in enumerate(loader):
                 if limit is not None and i >= limit:
                     break
+                if hasattr(task, "prepare_eval_batch"):
+                    batch = task.prepare_eval_batch(batch)
                 outputs = dp.eval_step(self.state, batch)
                 logs = outputs.pop("logs", {})
                 metrics = task.eval_metrics(outputs) if hasattr(task, "eval_metrics") else {}
                 for k, v in {**_as_float_logs(logs), **metrics}.items():
                     sums[k] = sums.get(k, 0.0) + v
+                if hasattr(task, "on_eval_batch_end"):
+                    task.on_eval_batch_end(outputs)
                 count += 1
                 if i < self.num_audio_logs and stage in ("validation", "test"):
                     self._log_audio(task, outputs, stage, dl_name, i)
             if count:
                 for k, v in sums.items():
                     all_metrics[f"{stage}/{k}{suffix}"] = v / count
+            if count and hasattr(task, "on_eval_epoch_end"):
+                for k, v in task.on_eval_epoch_end().items():
+                    all_metrics[f"{stage}/{k}{suffix}"] = float(v)
         if all_metrics:
             self.logger.log_scalars(all_metrics, self.global_step)
         return all_metrics

@@ -23,7 +23,8 @@ def hinge_loss(embeddings: List[List[jnp.ndarray]], target: float) -> jnp.ndarra
     """
     loss = 0.0
     for scale_embedding in embeddings:
-        certainties = scale_embedding[-1]
+        # reductions in f32 regardless of the network compute dtype
+        certainties = scale_embedding[-1].astype(jnp.float32)
         loss = loss + jnp.mean(jnp.maximum(1.0 - target * certainties, 0.0))
     return loss / len(embeddings)
 
@@ -42,6 +43,8 @@ def feature_matching_loss(
     n_layers = len(embeddings_a[0][1:-1])
     for scale_a, scale_b in zip(embeddings_a, embeddings_b):
         for layer_a, layer_b in zip(scale_a[1:-1], scale_b[1:-1]):
+            layer_a = layer_a.astype(jnp.float32)
+            layer_b = layer_b.astype(jnp.float32)
             l1 = jnp.mean(jnp.abs(layer_a - layer_b))
             loss = loss + l1 / jnp.mean(jnp.abs(layer_a))
     return loss / (len(embeddings_a) * n_layers)

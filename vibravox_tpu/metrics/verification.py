@@ -44,6 +44,11 @@ def roc_curve(scores: np.ndarray, labels: np.ndarray) -> Tuple[np.ndarray, np.nd
     tpr = tp / max(n_pos, 1)
     far = fp / max(n_neg, 1)  # false acceptance (positive) rate
     frr = 1.0 - tpr  # false rejection rate
+    # prepend the accept-nothing endpoint (FAR=0, FRR=1), like torchmetrics'
+    # ROC threshold at +inf — keeps minDCF bounded for degenerate scores
+    far = np.r_[0.0, far]
+    frr = np.r_[1.0, frr]
+    thr = np.r_[thr[0] + 1.0 if len(thr) else 1.0, thr]
     return far, frr, thr
 
 

@@ -75,7 +75,7 @@ class TorchConv1d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -120,7 +120,7 @@ class WNConv1d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -168,5 +168,5 @@ class WNConvTranspose1d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y

@@ -1,0 +1,469 @@
+"""Native wav2vec2-CTC implementation (flax linen, TPU-first).
+
+The reference delegates this network to HF transformers' *torch*
+implementation (``wav2vec2_for_stp.py:31-34``).  HF's Flax port only
+implements the stable-layer-norm ("large") variant, while the reference
+fine-tunes ``facebook/wav2vec2-base-fr-voxpopuli-v2`` — a post-norm "base"
+model — so this framework implements the architecture natively:
+
+  * conv feature encoder (7 layers, 512 ch, ~320× downsample), group-norm
+    first layer (``feat_extract_norm='group'``), GELU;
+  * feature projection LayerNorm → Linear(768) → dropout;
+  * grouped conv positional embedding (k=128, 16 groups, weight-normed);
+  * 12-layer post-norm transformer encoder with SpecAugment time/feature
+    masking and layerdrop;
+  * CTC head.
+
+Everything is channels-last and jit-compiled; attention uses
+``jax.nn.dot_product_attention``.  A weight converter maps HF torch
+checkpoints into this module's params (tested for logit parity against the
+torch implementation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Wav2Vec2Config",
+    "Wav2Vec2ForCTCModule",
+    "Wav2Vec2ForCTC",
+    "wav2vec2_for_ctc_from_pretrained",
+    "wav2vec2_for_ctc_from_config",
+    "wav2vec2_params_from_torch",
+    "TINY_W2V2_CONFIG",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    vocab_size: int = 38
+    pad_token_id: int = 35
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    feat_extract_norm: str = "group"  # "group" (base) | "layer" (large)
+    do_stable_layer_norm: bool = False
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    feat_proj_dropout: float = 0.1
+    final_dropout: float = 0.0
+    layerdrop: float = 0.0
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
+    mask_feature_min_masks: int = 0
+
+    def feat_extract_output_length(self, input_length: int) -> int:
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            input_length = (input_length - k) // s + 1
+        return input_length
+
+
+TINY_W2V2_CONFIG: Dict[str, Any] = dict(
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=64,
+    # keep the base model's full 320x downsampling stack (narrow channels):
+    # a shallower stack leaves ~10k-frame sequences and quadratic attention
+    conv_dim=(32, 32, 32, 32, 32, 32, 32),
+    conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+    conv_stride=(5, 2, 2, 2, 2, 2, 2),
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=2,
+)
+
+
+# --------------------------------------------------------------------------- #
+# Modules
+# --------------------------------------------------------------------------- #
+
+
+class FeatureEncoder(nn.Module):
+    """Conv feature extractor: waveform (B, T) -> (B, T', conv_dim[-1])."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        h = x[:, :, None]
+        for i, (dim, kernel, stride) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            h = nn.Conv(
+                dim, (kernel,), strides=(stride,), padding="VALID",
+                use_bias=cfg.conv_bias, name=f"conv_{i}",
+            )(h)
+            if cfg.feat_extract_norm == "group" and i == 0:
+                h = nn.GroupNorm(num_groups=dim, epsilon=cfg.layer_norm_eps,
+                                 name="group_norm")(h)
+            elif cfg.feat_extract_norm == "layer":
+                h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"layer_norm_{i}")(h)
+            h = nn.gelu(h, approximate=False)
+        return h
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding with torch weight-norm(dim=2)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        groups = cfg.num_conv_pos_embedding_groups
+        dim = cfg.hidden_size
+        # torch stores weight (out, in/groups, k) with weight_norm dim=2:
+        # g has shape (1, 1, k) — norm over (out, in/groups) per tap.
+        v = self.param(
+            "conv_v",
+            nn.initializers.he_normal(),
+            (k, dim // groups, dim),
+        )
+        g = self.param(
+            "conv_g",
+            lambda rng, shape: jnp.sqrt(
+                jnp.sum(jax.lax.stop_gradient(v) ** 2, axis=(1, 2))
+            ),
+            (k,),
+        )
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(1, 2), keepdims=True))
+        kernel = v * (g[:, None, None] / norm)
+        bias = self.param("conv_bias", nn.initializers.zeros, (dim,))
+        pad = k // 2
+        out = jax.lax.conv_general_dilated(
+            h, kernel, (1,), [(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        ) + bias
+        if k % 2 == 0:
+            out = out[:, :-1, :]
+        return nn.gelu(out, approximate=False)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm transformer layer (wav2vec2-base ordering)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.config
+        heads = cfg.num_attention_heads
+        head_dim = cfg.hidden_size // heads
+
+        residual = h
+        q = nn.Dense(cfg.hidden_size, name="q_proj")(h)
+        k = nn.Dense(cfg.hidden_size, name="k_proj")(h)
+        v = nn.Dense(cfg.hidden_size, name="v_proj")(h)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], heads, head_dim)
+
+        attn = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        attn = attn.reshape(h.shape)
+        attn = nn.Dense(cfg.hidden_size, name="out_proj")(attn)
+        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(residual + attn)
+
+        residual = h
+        ff = nn.Dense(cfg.intermediate_size, name="intermediate_dense")(h)
+        ff = nn.gelu(ff, approximate=False)
+        ff = nn.Dropout(cfg.activation_dropout)(ff, deterministic=deterministic)
+        ff = nn.Dense(cfg.hidden_size, name="output_dense")(ff)
+        ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(residual + ff)
+
+
+def _compute_span_mask(
+    rng: jax.Array, shape: Tuple[int, int], prob: float, span: int, min_masks: int
+) -> jnp.ndarray:
+    """Static-shape SpecAugment span mask: (B, T) bool.
+
+    Draws ``num_spans`` start positions per row and ORs their spans —
+    jit-friendly reformulation of HF's numpy mask generator with identical
+    expected masking rate.
+    """
+    batch, length = shape
+    num_spans = max(min_masks, int(prob * length / span))
+    if num_spans == 0 or span >= length:
+        return jnp.zeros(shape, bool)
+    starts = jax.random.randint(rng, (batch, num_spans), 0, length - span)
+    pos = jnp.arange(length)[None, None, :]
+    hit = (pos >= starts[..., None]) & (pos < (starts[..., None] + span))
+    return jnp.any(hit, axis=1)
+
+
+class Wav2Vec2ForCTCModule(nn.Module):
+    """Full model: waveform (B, T) -> logits (B, T', vocab)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(
+        self,
+        input_values: jnp.ndarray,
+        train: bool = False,
+        freeze_feature_encoder: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        deterministic = not train
+
+        feats = FeatureEncoder(cfg, name="feature_encoder")(input_values)
+        if freeze_feature_encoder:
+            feats = jax.lax.stop_gradient(feats)
+
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feat_proj_layer_norm")(feats)
+        h = nn.Dense(cfg.hidden_size, name="feat_projection")(h)
+        h = nn.Dropout(cfg.feat_proj_dropout)(h, deterministic=deterministic)
+
+        # SpecAugment (ref: HF applies inside the model when training).
+        # The mask embedding must exist regardless of `train` so init and
+        # apply see the same param tree.
+        if cfg.apply_spec_augment:
+            mask_embed = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(scale=1.0),
+                (cfg.hidden_size,),
+            )
+        if train and cfg.apply_spec_augment:
+            if cfg.mask_time_prob > 0:
+                rng = self.make_rng("spec_augment")
+                time_mask = _compute_span_mask(
+                    rng, h.shape[:2], cfg.mask_time_prob, cfg.mask_time_length,
+                    cfg.mask_time_min_masks,
+                )
+                h = jnp.where(time_mask[:, :, None], mask_embed[None, None, :], h)
+            if cfg.mask_feature_prob > 0:
+                rng = self.make_rng("spec_augment")
+                feat_mask = _compute_span_mask(
+                    rng, (h.shape[0], h.shape[2]), cfg.mask_feature_prob,
+                    cfg.mask_feature_length, cfg.mask_feature_min_masks,
+                )
+                h = jnp.where(feat_mask[:, None, :], 0.0, h)
+
+        pos = PositionalConvEmbedding(cfg, name="pos_conv_embed")(h)
+        h = h + pos
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+
+        for i in range(cfg.num_hidden_layers):
+            layer = EncoderLayer(cfg, name=f"layer_{i}")
+            if train and cfg.layerdrop > 0:
+                rng = self.make_rng("layerdrop")
+                keep = jax.random.bernoulli(rng, 1.0 - cfg.layerdrop)
+                h = jnp.where(keep, layer(h, deterministic), h)
+            else:
+                h = layer(h, deterministic)
+
+        h = nn.Dropout(cfg.final_dropout)(h, deterministic=deterministic)
+        return nn.Dense(cfg.vocab_size, name="lm_head")(h)
+
+
+# --------------------------------------------------------------------------- #
+# User-facing wrapper (holds config + params, HF-like call surface)
+# --------------------------------------------------------------------------- #
+
+
+class Wav2Vec2ForCTC:
+    def __init__(self, config: Wav2Vec2Config, params: Optional[Any] = None, seed: int = 0):
+        self.config = config
+        self.module = Wav2Vec2ForCTCModule(config)
+        if params is None:
+            dummy = jnp.zeros((1, 4000))
+            params = self.module.init(
+                {"params": jax.random.key(seed)}, dummy, train=False
+            )["params"]
+        self.params = params
+
+    def __call__(
+        self,
+        input_values: jnp.ndarray,
+        params: Optional[Any] = None,
+        dropout_rng: Optional[jax.Array] = None,
+        train: bool = False,
+        freeze_feature_encoder: bool = False,
+    ):
+        rngs = {}
+        if train:
+            key = dropout_rng if dropout_rng is not None else jax.random.key(0)
+            k1, k2, k3 = jax.random.split(key, 3)
+            rngs = {"dropout": k1, "spec_augment": k2, "layerdrop": k3}
+        logits = self.module.apply(
+            {"params": params if params is not None else self.params},
+            input_values,
+            train=train,
+            freeze_feature_encoder=freeze_feature_encoder,
+            rngs=rngs,
+        )
+
+        class _Out:
+            pass
+
+        out = _Out()
+        out.logits = logits
+        return out
+
+
+# --------------------------------------------------------------------------- #
+# Torch checkpoint conversion
+# --------------------------------------------------------------------------- #
+
+
+def wav2vec2_params_from_torch(sd: Dict[str, np.ndarray], config: Wav2Vec2Config) -> Dict[str, Any]:
+    """HF torch ``Wav2Vec2ForCTC`` state dict -> native flax params."""
+
+    def lin(prefix):
+        return {
+            "kernel": np.asarray(sd[f"{prefix}.weight"]).T,
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    def ln(prefix):
+        return {
+            "scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    p: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    for i in range(len(config.conv_dim)):
+        w = np.asarray(sd[f"wav2vec2.feature_extractor.conv_layers.{i}.conv.weight"])
+        conv = {"kernel": np.transpose(w, (2, 1, 0))}
+        if config.conv_bias:
+            conv["bias"] = np.asarray(sd[f"wav2vec2.feature_extractor.conv_layers.{i}.conv.bias"])
+        fe[f"conv_{i}"] = conv
+    if config.feat_extract_norm == "group":
+        fe["group_norm"] = ln("wav2vec2.feature_extractor.conv_layers.0.layer_norm")
+    else:
+        for i in range(len(config.conv_dim)):
+            fe[f"layer_norm_{i}"] = ln(f"wav2vec2.feature_extractor.conv_layers.{i}.layer_norm")
+    p["feature_encoder"] = fe
+
+    p["feat_proj_layer_norm"] = ln("wav2vec2.feature_projection.layer_norm")
+    p["feat_projection"] = lin("wav2vec2.feature_projection.projection")
+
+    # positional conv: torch weight (out, in/g, k), weight_norm dim=2
+    base = "wav2vec2.encoder.pos_conv_embed.conv"
+    if f"{base}.parametrizations.weight.original0" in sd:
+        g = np.asarray(sd[f"{base}.parametrizations.weight.original0"])
+        v = np.asarray(sd[f"{base}.parametrizations.weight.original1"])
+    else:  # older torch naming
+        g = np.asarray(sd[f"{base}.weight_g"])
+        v = np.asarray(sd[f"{base}.weight_v"])
+    p["pos_conv_embed"] = {
+        "conv_v": np.transpose(v, (2, 1, 0)),  # -> (k, in/g, out)
+        "conv_g": g.reshape(-1),
+        "conv_bias": np.asarray(sd[f"{base}.bias"]),
+    }
+    p["encoder_layer_norm"] = ln("wav2vec2.encoder.layer_norm")
+
+    for i in range(config.num_hidden_layers):
+        b = f"wav2vec2.encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "q_proj": lin(f"{b}.attention.q_proj"),
+            "k_proj": lin(f"{b}.attention.k_proj"),
+            "v_proj": lin(f"{b}.attention.v_proj"),
+            "out_proj": lin(f"{b}.attention.out_proj"),
+            "layer_norm": ln(f"{b}.layer_norm"),
+            "intermediate_dense": lin(f"{b}.feed_forward.intermediate_dense"),
+            "output_dense": lin(f"{b}.feed_forward.output_dense"),
+            "final_layer_norm": ln(f"{b}.final_layer_norm"),
+        }
+
+    p["masked_spec_embed"] = np.asarray(
+        sd.get("wav2vec2.masked_spec_embed", np.zeros((config.hidden_size,), np.float32))
+    )
+    p["lm_head"] = lin("lm_head")
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+# --------------------------------------------------------------------------- #
+# Factories (config surface of the reference's dnn_module group)
+# --------------------------------------------------------------------------- #
+
+
+def wav2vec2_for_ctc_from_pretrained(
+    pretrained_model_name_or_path: str,
+    pad_token_id: int = 35,
+    vocab_size: int = 38,
+    **config_overrides,
+) -> Wav2Vec2ForCTC:
+    """Load an HF checkpoint (hub or local cache) into the native model."""
+    from transformers import Wav2Vec2Config as HFConfig
+    import torch
+    from transformers import Wav2Vec2ForCTC as TorchW2V2
+
+    hf_cfg = HFConfig.from_pretrained(
+        pretrained_model_name_or_path, pad_token_id=pad_token_id, vocab_size=vocab_size,
+        **config_overrides,
+    )
+    config = Wav2Vec2Config(
+        vocab_size=hf_cfg.vocab_size,
+        pad_token_id=hf_cfg.pad_token_id,
+        hidden_size=hf_cfg.hidden_size,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        num_attention_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        conv_dim=tuple(hf_cfg.conv_dim),
+        conv_kernel=tuple(hf_cfg.conv_kernel),
+        conv_stride=tuple(hf_cfg.conv_stride),
+        conv_bias=hf_cfg.conv_bias,
+        num_conv_pos_embeddings=hf_cfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hf_cfg.num_conv_pos_embedding_groups,
+        feat_extract_norm=hf_cfg.feat_extract_norm,
+        do_stable_layer_norm=hf_cfg.do_stable_layer_norm,
+        hidden_dropout=hf_cfg.hidden_dropout,
+        attention_dropout=hf_cfg.attention_dropout,
+        feat_proj_dropout=hf_cfg.feat_proj_dropout,
+        final_dropout=hf_cfg.final_dropout,
+        layerdrop=hf_cfg.layerdrop,
+        apply_spec_augment=hf_cfg.apply_spec_augment,
+        mask_time_prob=hf_cfg.mask_time_prob,
+        mask_feature_prob=hf_cfg.mask_feature_prob,
+        mask_feature_length=hf_cfg.mask_feature_length,
+    )
+    torch_model = TorchW2V2.from_pretrained(
+        pretrained_model_name_or_path, pad_token_id=pad_token_id,
+        vocab_size=vocab_size, **config_overrides,
+    )
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    params = wav2vec2_params_from_torch(sd, config)
+    return Wav2Vec2ForCTC(config, params=params)
+
+
+def wav2vec2_for_ctc_from_config(
+    pad_token_id: int = 35,
+    vocab_size: int = 38,
+    preset: Optional[str] = None,
+    seed: int = 0,
+    **config_overrides,
+) -> Wav2Vec2ForCTC:
+    """Random-init native model (offline path / tests)."""
+    kwargs: Dict[str, Any] = {}
+    if preset == "tiny":
+        kwargs.update(TINY_W2V2_CONFIG)
+    kwargs.update(config_overrides)
+    config = Wav2Vec2Config(pad_token_id=pad_token_id, vocab_size=vocab_size, **kwargs)
+    return Wav2Vec2ForCTC(config, seed=seed)

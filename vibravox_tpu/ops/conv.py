@@ -80,6 +80,10 @@ def conv1d(
     if pad_mode == "reflect" and pad != (0, 0):
         x = reflect_pad(x, pad)
         pad = (0, 0)
+    if weight.dtype != x.dtype:
+        # mixed-precision policy flows from the activations: f32 master
+        # weights are cast to the compute dtype (bf16 on TPU) at use site
+        weight = weight.astype(x.dtype)
     return lax.conv_general_dilated(
         x,
         weight,
@@ -113,6 +117,8 @@ def conv_transpose1d(
     in_ch, out_ch_per_group, kernel = weight_torch.shape
     if in_ch % groups != 0:
         raise ValueError("in_channels must be divisible by groups")
+    if weight_torch.dtype != x.dtype:
+        weight_torch = weight_torch.astype(x.dtype)
     # (in, out//g, k) -> flip kernel, reorder to WIO with in/out swapped per group.
     # For grouped transpose conv the equivalent forward conv has
     # feature_group_count=groups and rhs (k, in//g, out), where the rhs for

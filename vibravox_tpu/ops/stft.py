@@ -61,17 +61,63 @@ def stft_magnitude(
     """Magnitude STFT matching ``torch.stft(center=True, pad_mode='reflect')``.
 
     x: (B, T) -> (B, n_frames, fft_size // 2 + 1)
+
+    TPU-first implementation: block-strided framing + one rDFT matmul.
+    The signal is viewed as hop-sized blocks and frames are assembled from
+    ``J = ceil(fft/hop)`` *shifted slices* of that view (no gather; the
+    gradient is a set of slice-adds, not a scatter).  The centered window
+    and the rDFT rows fold into one ``(J*hop, fft//2+1)`` matrix, so the
+    whole transform is a single MXU matmul per component.
     """
-    if window is None:
-        window = hann_window(win_length, x.dtype)
-    # center the window inside the fft frame like torch.stft
-    pad_l = (fft_size - win_length) // 2
-    window_padded = jnp.pad(window, (pad_l, fft_size - win_length - pad_l))
+    if window is not None and window.shape[0] != win_length:
+        win_length = int(window.shape[0])
+    try:
+        key = None if window is None else tuple(np.asarray(window).tolist())
+    except Exception:
+        key = None  # traced window (inside jit): assume the standard Hann
+    wre, wim, frame_len = _dft_matrices(fft_size, hop, win_length, key)
+    wre = jnp.asarray(wre, x.dtype)
+    wim = jnp.asarray(wim, x.dtype)
+
+    lead = x.shape[:-1]
+    t_in = x.shape[-1]
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(fft_size // 2, fft_size // 2)], mode="reflect")
-    frames = frame_signal(x, fft_size, hop) * window_padded
-    spec = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    n_frames = 1 + t_in // hop  # torch.stft frame count with center=True
+    j_blocks = frame_len // hop
+    total = (n_frames - 1 + j_blocks) * hop
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(0, total - x.shape[-1]))])
+    xb = x[..., :total].reshape(lead + (n_frames - 1 + j_blocks, hop))
+    frames = jnp.concatenate(
+        [xb[..., j : j + n_frames, :] for j in range(j_blocks)], axis=-1
+    )  # (..., n_frames, frame_len)
+    re = jnp.einsum("...tf,fk->...tk", frames, wre, preferred_element_type=jnp.float32)
+    im = jnp.einsum("...tf,fk->...tk", frames, wim, preferred_element_type=jnp.float32)
+    power = re**2 + im**2
     return jnp.sqrt(jnp.clip(power, min=eps))
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(fft_size: int, hop: int, win_length: int, window_values=None):
+    """Real/imag rDFT matrices (frame_len, fft//2+1) with the torch-style
+    centered window folded in; frame_len = ceil(fft/hop)*hop ≥ fft, and the
+    tail rows are zero (the frame extends past the fft window)."""
+    if window_values is None:
+        n = np.arange(win_length)
+        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    else:
+        win = np.asarray(window_values, dtype=np.float64)
+    pad_l = (fft_size - win_length) // 2
+    win_padded = np.zeros(fft_size)
+    win_padded[pad_l : pad_l + win_length] = win
+    t = np.arange(fft_size)[:, None]
+    k = np.arange(fft_size // 2 + 1)[None, :]
+    angle = -2.0 * np.pi * t * k / fft_size
+    frame_len = -(-fft_size // hop) * hop
+    wre = np.zeros((frame_len, fft_size // 2 + 1), np.float32)
+    wim = np.zeros((frame_len, fft_size // 2 + 1), np.float32)
+    wre[:fft_size] = np.cos(angle) * win_padded[:, None]
+    wim[:fft_size] = np.sin(angle) * win_padded[:, None]
+    return wre, wim, frame_len
 
 
 # --------------------------------------------------------------------------- #
@@ -172,6 +218,9 @@ class MultiResolutionSTFTLoss:
             self.prefilter_taps = jnp.asarray(a_weighting_fir(int(sample_rate)))
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        # FFT/log reductions always in f32 (bf16 FFT is unsupported/lossy)
+        x = x.astype(jnp.float32)
+        y = y.astype(jnp.float32)
         if x.ndim == 3:  # (B, T, C) -> fold channels into batch
             x = x.reshape(-1, x.shape[1]) if x.shape[2] == 1 else jnp.moveaxis(x, 2, 1).reshape(-1, x.shape[1])
             y = y.reshape(-1, y.shape[1]) if y.shape[2] == 1 else jnp.moveaxis(y, 2, 1).reshape(-1, y.shape[1])

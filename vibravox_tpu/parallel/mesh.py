@@ -97,12 +97,31 @@ class DataParallel:
         )
         self._eval_step = jax.jit(task.eval_step, in_shardings=(state_sharding, None))
 
+    @staticmethod
+    def split_batch(batch: Any) -> tuple:
+        """Separate device-able arrays from host-only fields (e.g. the STP
+        collate's ``phonemes_str`` list — strings cannot cross into jit)."""
+        if not isinstance(batch, dict):
+            return batch, {}
+        arrays = {k: v for k, v in batch.items() if hasattr(v, "dtype")}
+        host = {k: v for k, v in batch.items() if not hasattr(v, "dtype")}
+        return arrays, host
+
     def init_state(self, rng: jax.Array, example_batch: Any):
-        state = self.task.init_state(rng, example_batch)
+        arrays, _ = self.split_batch(example_batch)
+        # jit the whole init: eager op-by-op init is pathologically slow on
+        # remote-compile TPU backends, and jit also dedupes the RNG work
+        state = jax.jit(self.task.init_state)(rng, arrays)
         return replicate(self.mesh, state)
 
     def train_step(self, state, batch):
-        return self._train_step(state, shard_batch(self.mesh, batch))
+        arrays, _ = self.split_batch(batch)
+        return self._train_step(state, shard_batch(self.mesh, arrays))
 
     def eval_step(self, state, batch):
-        return self._eval_step(state, shard_batch(self.mesh, batch))
+        arrays, host = self.split_batch(batch)
+        outputs = self._eval_step(state, shard_batch(self.mesh, arrays))
+        if host and isinstance(outputs, dict):
+            outputs = dict(outputs)
+            outputs["host"] = host
+        return outputs

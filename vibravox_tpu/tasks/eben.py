@@ -70,6 +70,12 @@ class EBENTask:
     beta_ema: float = 0.9
     update_discriminator_ratio: float = 1.0
     description: Optional[str] = None
+    # mixed precision: network compute dtype for training ("bfloat16" is
+    # essential on TPU, where f32 matmul paths are software-emulated — but
+    # bf16 is itself emulated on CPU, so the default is None and the TPU
+    # configs/bench set it explicitly); loss reductions and optimizer states
+    # stay f32; eval always runs in the input dtype (f32) for metric fidelity
+    compute_dtype: Optional[str] = None
 
     def __post_init__(self):
         assert self.dynamic_loss_balancing in {None, "simple", "ema"}
@@ -247,6 +253,10 @@ class EBENTask:
         rng, k_gate = jax.random.split(state.rng)
         corrupted = self.generator.cut_to_valid_length(batch["audio_body_conducted"])
         reference = self.generator.cut_to_valid_length(batch["audio_airborne"])
+        if self.compute_dtype is not None:
+            dtype = jnp.dtype(self.compute_dtype)
+            corrupted = corrupted.astype(dtype)
+            reference = reference.astype(dtype)
         decomposed_reference = self.generator.pqmf.analysis(reference)
 
         logs: Dict[str, jnp.ndarray] = {}

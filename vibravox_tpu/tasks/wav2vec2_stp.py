@@ -1,0 +1,126 @@
+"""Speech-to-phoneme task: wav2vec2-CTC fine-tuning (jit-compiled).
+
+Re-design of ``Wav2Vec2ForSTPLightningModule``
+(``lightning_modules/wav2vec2_for_stp.py:13-249``): one ``common_step``
+shape for train/val/test; the CTC loss the reference gets from inside HF's
+torch model becomes an explicit ``optax.ctc_loss`` with the pad token as
+blank and 'mean' reduction (per-example loss / target length, averaged),
+matching ``ctc_loss_reduction='mean'`` semantics; greedy argmax decode +
+CER(PER) on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["Wav2Vec2STPTask", "STPTrainState"]
+
+
+class STPTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class Wav2Vec2STPTask:
+    wav2vec2_for_ctc: Any  # FlaxWav2Vec2ForCTC (or a factory partial)
+    optimizer: optax.GradientTransformation
+    sample_rate: int = 16_000
+    freeze_feature_encoder: bool = True
+    description: Optional[str] = None
+    tokenizer: Any = None  # wired by run.py / trainer from the datamodule
+
+    def __post_init__(self):
+        if not hasattr(self.wav2vec2_for_ctc, "config") and callable(self.wav2vec2_for_ctc):
+            self.wav2vec2_for_ctc = self.wav2vec2_for_ctc()
+        if not hasattr(self.optimizer, "init") and callable(self.optimizer):
+            self.optimizer = self.optimizer()
+        self.blank_id = int(self.wav2vec2_for_ctc.config.pad_token_id)
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray]) -> STPTrainState:
+        params = self.wav2vec2_for_ctc.params
+        return STPTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            rng=rng,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _ctc_loss(self, logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        """'mean' CTC: per-example loss divided by target length, averaged."""
+        label_paddings = (labels == -100).astype(jnp.float32)
+        clean_labels = jnp.where(labels == -100, 0, labels)
+        logit_paddings = jnp.zeros(logits.shape[:2], jnp.float32)
+        per_example = optax.ctc_loss(
+            logits, logit_paddings, clean_labels, label_paddings, blank_id=self.blank_id
+        )
+        target_lengths = jnp.maximum(jnp.sum(1.0 - label_paddings, axis=-1), 1.0)
+        return jnp.mean(per_example / target_lengths)
+
+    def _forward(self, params, audio, train: bool, rng=None):
+        out = self.wav2vec2_for_ctc(
+            audio,
+            params=params,
+            dropout_rng=rng if train else None,
+            train=train,
+            freeze_feature_encoder=self.freeze_feature_encoder,
+        )
+        return out.logits
+
+    # ------------------------------------------------------------------ #
+
+    def train_step(
+        self, state: STPTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[STPTrainState, Dict[str, jnp.ndarray]]:
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            logits = self._forward(params, batch["audio"], train=True, rng=dropout_rng)
+            return self._ctc_loss(logits, batch["phonemes_ids"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, {"train/ctc_loss": loss}
+
+    def eval_step(
+        self, state: STPTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        logits = self._forward(state.params, batch["audio"], train=False)
+        loss = self._ctc_loss(logits, batch["phonemes_ids"])
+        return {
+            "predictions": jnp.argmax(logits, axis=-1),
+            "logs": {"ctc_loss": loss},
+        }
+
+    # ------------------------------------------------------------------ #
+
+    def eval_metrics(self, outputs: Dict[str, Any]) -> Dict[str, float]:
+        """Greedy decode + PER, host-side (ref ``common_logging``,
+        ``wav2vec2_for_stp.py:176-226``)."""
+        if self.tokenizer is None or "host" not in outputs:
+            return {}
+        from vibravox_tpu.metrics.text import char_error_rate
+
+        preds = np.asarray(outputs["predictions"])
+        decoded = self.tokenizer.batch_decode(preds)
+        targets = outputs["host"].get("phonemes_str", [])
+        if not targets:
+            return {}
+        return {"char_error_rate": char_error_rate(decoded, list(targets))}
