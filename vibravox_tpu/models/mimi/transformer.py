@@ -1,0 +1,87 @@
+"""Small causal transformer for the Mimi encoder/decoder bottleneck.
+
+Mimi wraps its SEANet latents with 8-layer causal transformers (RoPE,
+layer-scale) — implemented here natively in flax with
+``jax.nn.dot_product_attention`` and a standard rotary embedding.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["MimiTransformer"]
+
+
+def _rope(q: jnp.ndarray, k: jnp.ndarray, base: float = 10000.0):
+    """Apply rotary position embeddings to (B, T, H, D) q/k."""
+    t = q.shape[1]
+    d = q.shape[-1]
+    inv_freq = 1.0 / (base ** (np.arange(0, d, 2) / d))
+    pos = jnp.arange(t)[:, None] * jnp.asarray(inv_freq)[None, :]
+    cos = jnp.cos(pos)[None, :, None, :]
+    sin = jnp.sin(pos)[None, :, None, :]
+
+    def rot(x):
+        x1, x2 = x[..., 0::2], x[..., 1::2]
+        out1 = x1 * cos - x2 * sin
+        out2 = x2 * cos + x1 * sin
+        return jnp.stack([out1, out2], axis=-1).reshape(x.shape)
+
+    return rot(q), rot(k)
+
+
+class TransformerLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    layer_scale: float = 0.01
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(name="norm1")(x)
+        heads, head_dim = self.num_heads, self.d_model // self.num_heads
+        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(h)
+        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(h)
+        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(h)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], heads, head_dim)
+
+        q, k = _rope(split(q), split(k))
+        attn = jax.nn.dot_product_attention(q, k, split(v), is_causal=self.causal)
+        attn = nn.Dense(self.d_model, use_bias=False, name="out_proj")(
+            attn.reshape(h.shape)
+        )
+        ls1 = self.param("layer_scale_1", nn.initializers.constant(self.layer_scale),
+                         (self.d_model,))
+        x = x + ls1 * attn
+
+        h = nn.LayerNorm(name="norm2")(x)
+        ff = nn.Dense(self.dim_feedforward, use_bias=False, name="linear1")(h)
+        ff = nn.gelu(ff, approximate=True)
+        ff = nn.Dense(self.d_model, use_bias=False, name="linear2")(ff)
+        ls2 = self.param("layer_scale_2", nn.initializers.constant(self.layer_scale),
+                         (self.d_model,))
+        return x + ls2 * ff
+
+
+class MimiTransformer(nn.Module):
+    d_model: int = 512
+    num_layers: int = 8
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+    layer_scale: float = 0.01
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = TransformerLayer(
+                self.d_model, self.num_heads, self.dim_feedforward,
+                self.layer_scale, self.causal, name=f"layer_{i}",
+            )(x)
+        return x

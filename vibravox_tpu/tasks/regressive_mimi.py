@@ -1,0 +1,130 @@
+"""Regressive Mimi BWE task: latent-space L1 fine-tuning of the codec encoder.
+
+Mirrors ``RegressiveMimiLightningModule``
+(``lightning_modules/regressive_mimi.py:13-97``): two copies of the Mimi
+codec — a frozen reference and a trainable one; only the trainable
+encoder + encoder_transformer + downsample receive gradients (decoder and
+quantizer stay frozen); the loss is L1 between the *unquantized* latents of
+the corrupted (trainable) and reference (frozen) audio; eval decodes the
+corrupted latents through the RVQ for the SE metric suite; 24 kHz only;
+inputs padded to multiples of the 1920-sample frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import flax.traverse_util
+import jax
+import jax.numpy as jnp
+import optax
+
+from vibravox_tpu.models.mimi.mimi import Mimi
+
+__all__ = ["RegressiveMimiTask", "MimiTrainState"]
+
+_TRAINABLE_PREFIXES = ("encoder", "encoder_transformer", "downsample")
+
+
+class MimiTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any  # trainable mimi params (full tree; only prefixes update)
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class RegressiveMimiTask:
+    mimi: Mimi
+    optimizer: optax.GradientTransformation
+    sample_rate: int = 24000
+    description: Optional[str] = None
+
+    def __post_init__(self):
+        assert self.sample_rate == 24000, (
+            "RegressiveMimi runs at 24 kHz only (ref regressive_mimi.py:21)"
+        )
+        if not hasattr(self.mimi, "module") and callable(self.mimi):
+            self.mimi = self.mimi()
+        if not hasattr(self.optimizer, "init") and callable(self.optimizer):
+            self.optimizer = self.optimizer()
+        # only encoder-side params train (ref regressive_mimi.py:32-38)
+        self.optimizer = optax.multi_transform(
+            {"train": self.optimizer, "freeze": optax.set_to_zero()},
+            param_labels=self._param_labels,
+        )
+        from vibravox_tpu.tasks.se_metrics import SEMetrics
+
+        self._se_metrics = SEMetrics(self.sample_rate)
+
+    @staticmethod
+    def _param_labels(params):
+        flat = flax.traverse_util.flatten_dict(params)
+        labels = {
+            k: ("train" if any(k[1].startswith(p) for p in _TRAINABLE_PREFIXES) else "freeze")
+            for k in flat
+        }
+        return flax.traverse_util.unflatten_dict(labels)
+
+    def eval_metrics(self, outputs) -> Dict[str, float]:
+        return self._se_metrics(outputs)
+
+    # ------------------------------------------------------------------ #
+
+    def pad_to_frame(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """Right-pad the time axis to a multiple of 1920 (ref ``91-97``)."""
+        t = audio.shape[1]
+        target = self.mimi.valid_length(t)
+        return jnp.pad(audio, ((0, 0), (0, target - t), (0, 0)))
+
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray]) -> MimiTrainState:
+        params = self.mimi.params
+        return MimiTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            rng=rng,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def train_step(
+        self, state: MimiTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[MimiTrainState, Dict[str, jnp.ndarray]]:
+        corrupted = self.pad_to_frame(batch["audio_body_conducted"])
+        reference = self.pad_to_frame(batch["audio_airborne"])
+        # frozen copy: the *initial* pretrained params held by the task
+        target_latent = jax.lax.stop_gradient(
+            self.mimi.encode_to_latent(reference, params=self.mimi.params)
+        )
+
+        def loss_fn(params):
+            latent = self.mimi.encode_to_latent(corrupted, params=params)
+            return jnp.mean(jnp.abs(latent - target_latent))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(step=state.step + 1, params=params, opt_state=opt_state),
+            {"train/l1_latent_loss": loss},
+        )
+
+    def eval_step(
+        self, state: MimiTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        """Decode corrupted latents through the RVQ (ref ``57-74``)."""
+        corrupted = self.pad_to_frame(batch["audio_body_conducted"])
+        latent = self.mimi.encode_to_latent(corrupted, params=state.params)
+        enhanced = self.mimi.decode_latent(latent, params=state.params)
+        outputs: Dict[str, Any] = {"corrupted": corrupted, "enhanced": enhanced, "logs": {}}
+        if "audio_airborne" in batch:
+            reference = self.pad_to_frame(batch["audio_airborne"])
+            outputs["reference"] = reference
+            target_latent = self.mimi.encode_to_latent(reference, params=self.mimi.params)
+            outputs["logs"] = {
+                "l1_latent_loss": jnp.mean(jnp.abs(latent - target_latent))
+            }
+        return outputs
