@@ -18,6 +18,7 @@ import numpy as np
 
 from vibravox_tpu.core.checkpoint import CheckpointManager
 from vibravox_tpu.core.logging import Logger, NoOpLogger
+from vibravox_tpu.core.profiler import StepTimer, trace_window
 from vibravox_tpu.parallel.mesh import DataParallel, MeshConfig, build_mesh
 
 __all__ = ["Trainer"]
@@ -89,6 +90,8 @@ class Trainer:
         if getattr(task, "description", None):
             self.logger.log_text("description", task.description)
 
+        timer = StepTimer()
+        profiler_trace = None
         for epoch in range(self.current_epoch, self.max_epochs):
             self.current_epoch = epoch
             epoch_t0 = time.perf_counter()
@@ -97,11 +100,14 @@ class Trainer:
                 if self.limit_train_batches is not None and i >= self.limit_train_batches:
                     break
                 if self.profile_dir and self.global_step == 8:
-                    jax.profiler.start_trace(self.profile_dir)
+                    profiler_trace = trace_window(self.profile_dir).__enter__()
+                timer.start()
                 self.state, logs = dp.train_step(self.state, batch)
-                if self.profile_dir and self.global_step == 10:
+                timer.stop()
+                if profiler_trace is not None and self.global_step == 10:
                     jax.block_until_ready(self.state)
-                    jax.profiler.stop_trace()
+                    profiler_trace.__exit__()
+                    profiler_trace = None
                 x = batch.get("audio_body_conducted", batch.get("audio"))
                 if x is not None:
                     audio_seconds += x.shape[0] * x.shape[1] / task.sample_rate
@@ -110,13 +116,12 @@ class Trainer:
                 self.global_step += 1
             jax.block_until_ready(self.state)
             wall = time.perf_counter() - epoch_t0
-            self.logger.log_scalars(
-                {
-                    "train/epoch_wall_seconds": wall,
-                    "train/audio_seconds_per_second": audio_seconds / max(wall, 1e-9),
-                },
-                self.global_step,
-            )
+            epoch_metrics = {
+                "train/epoch_wall_seconds": wall,
+                "train/audio_seconds_per_second": audio_seconds / max(wall, 1e-9),
+            }
+            epoch_metrics.update(timer.summary("train/"))
+            self.logger.log_scalars(epoch_metrics, self.global_step)
 
             val_metrics: Dict[str, float] = {}
             if (epoch + 1) % self.check_val_every_n_epoch == 0:

@@ -29,8 +29,10 @@ import numpy as np
 __all__ = [
     "eben_generator_params_from_torch",
     "eben_discriminator_params_from_torch",
+    "eben_generator_params_to_torch",
     "infer_eben_hparams_from_torch",
     "load_torch_state_dict",
+    "save_torch_state_dict",
 ]
 
 
@@ -157,3 +159,74 @@ def eben_discriminator_params_from_torch(sd: Mapping[str, np.ndarray], prefix: s
         params[f"pqmf_disc_{dilation}"] = _eben_disc_params(sd, f"pqmf_discriminators.{idx}.")
     params["melgan"] = _melgan_params(sd, "melgan_discriminator.")
     return {"params": params}
+
+
+# --------------------------------------------------------------------------- #
+# Export back to the reference's torch format (checkpoint round-trip)
+# --------------------------------------------------------------------------- #
+
+
+def eben_generator_params_to_torch(
+    params: Mapping[str, Any], m: int = 4, n: int = 32
+) -> Dict[str, np.ndarray]:
+    """Flax EBENGenerator params -> reference torch state dict.
+
+    Produces the exact tensor names/layouts the reference persists
+    (incl. the frozen PQMF buffers), so exported checkpoints load in the
+    PyTorch reference and on the hub (``upload_eben_to_hub.py`` flow).
+    """
+    from vibravox_tpu.ops.pqmf import design_pqmf_bank
+
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, np.ndarray] = {}
+
+    analysis, synthesis = design_pqmf_bank(m, n, 9.0)
+    sd["pqmf.analysis_weights"] = analysis[:, None, :].astype(np.float32)
+    sd["pqmf.synthesis_weights"] = synthesis[:, None, :].astype(np.float32)
+
+    def put_conv(name: str, node: Mapping[str, np.ndarray]) -> None:
+        sd[f"{name}.weight"] = np.transpose(np.asarray(node["kernel"]), (2, 1, 0))
+        if "bias" in node:
+            sd[f"{name}.bias"] = np.asarray(node["bias"])
+
+    def put_wn(name: str, node: Mapping[str, np.ndarray]) -> None:
+        g = np.asarray(node["kernel_g"])
+        sd[f"{name}.parametrizations.weight.original0"] = g.reshape(-1, 1, 1)
+        sd[f"{name}.parametrizations.weight.original1"] = np.transpose(
+            np.asarray(node["kernel_v"]), (2, 1, 0)
+        )
+        if "bias" in node:
+            sd[f"{name}.bias"] = np.asarray(node["bias"])
+
+    def put_wn_trans(name: str, node: Mapping[str, np.ndarray]) -> None:
+        g = np.asarray(node["kernel_g"])
+        sd[f"{name}.parametrizations.weight.original0"] = g.reshape(-1, 1, 1)
+        sd[f"{name}.parametrizations.weight.original1"] = np.asarray(node["kernel_v"])
+        if "bias" in node:
+            sd[f"{name}.bias"] = np.asarray(node["bias"])
+
+    put_conv("first_conv", p["first_conv"])
+    put_conv("last_conv", p["last_conv"])
+    put_wn("latent_conv.1", p["latent_conv_0"])
+    put_wn("latent_conv.3", p["latent_conv_1"])
+    for i in range(3):
+        put_wn(f"encoder_blocks.{i}.conv", p[f"enc_{i}"]["conv"])
+        put_wn_trans(f"decoder_blocks.{i}.conv_trans", p[f"dec_{i}"]["conv_trans"])
+        for j in range(3):
+            for blk, key in ((f"encoder_blocks.{i}", f"enc_{i}"), (f"decoder_blocks.{i}", f"dec_{i}")):
+                node = p[key][f"residual_{j}"]
+                put_wn(f"{blk}.residuals.{j}.dilated_conv", node["dilated_conv"])
+                put_wn(f"{blk}.residuals.{j}.pointwise_conv", node["pointwise_conv"])
+    return sd
+
+
+def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
+    """Persist a numpy state dict as torch ``.pt`` or ``.safetensors``."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import save_file
+
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+        return
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
