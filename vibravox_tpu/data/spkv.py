@@ -180,7 +180,25 @@ class SPKVDataModule:
 
     def setup(self, stage: str = "test") -> None:
         if stage != "test":
-            return  # fit stage unused by the inference-only eval (ref README)
+            # fit stage: per-sensor sources, 50/50 interleave when the two
+            # sensors differ (ref ``spkv.py:173-181``); the shipped eval task
+            # is inference-only so this feeds custom training tasks
+            if "fit" in (stage, None) and not hasattr(self, "_fit_source"):
+                src_a = self._load_split("train", self.sensor_a)
+                if self.sensor_b != self.sensor_a:
+                    src_b = self._load_split("train", self.sensor_b)
+
+                    class _Interleaved:
+                        def __len__(self_inner):
+                            return 2 * min(len(src_a), len(src_b))
+
+                        def __getitem__(self_inner, i):
+                            return (src_a if i % 2 == 0 else src_b)[i // 2]
+
+                    self._fit_source = _Interleaved()
+                else:
+                    self._fit_source = src_a
+            return
         src_a = self._load_split("test", self.sensor_a)
         src_b = self._load_split("test", self.sensor_b) if self.sensor_b != self.sensor_a else src_a
 
@@ -209,7 +227,11 @@ class SPKVDataModule:
     # ------------------------------------------------------------------ #
 
     def train_dataloader(self):
-        return iter(())  # inference-only task: empty train loader
+        if getattr(self, "_fit_source", None) is None:
+            return iter(())  # inference-only eval: empty train loader
+        return DataLoader(
+            self._fit_source, SPKVCollate(self.sensor_a), self.batch_size, shuffle=True
+        )
 
     def val_dataloader(self):
         return iter(())

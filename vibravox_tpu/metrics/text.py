@@ -21,13 +21,61 @@ __all__ = [
 ]
 
 
+def _load_native():
+    """ctypes binding to the C++ Levenshtein kernel (built on demand)."""
+    import ctypes
+
+    try:
+        from vibravox_tpu.native.build import build
+
+        lib = ctypes.CDLL(str(build()))
+    except Exception:
+        return None
+    lib.levenshtein_editops.restype = ctypes.c_int
+    lib.levenshtein_editops.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint32), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32), ctypes.c_int,
+    ]
+    lib.levenshtein_distance.restype = ctypes.c_int
+    lib.levenshtein_distance.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint32), ctypes.c_int,
+    ]
+    return lib
+
+
+_NATIVE = _load_native()
+_OP_NAMES = ("replace", "insert", "delete")
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).copy()
+
+
 def levenshtein_editops(pred: str, target: str) -> List[Tuple[str, int, int]]:
     """Minimal edit operations transforming ``pred`` into ``target``.
 
     Returns (op, pred_idx, target_idx) triples with op in
     {replace, insert, delete}, matching the python-Levenshtein convention
-    the reference consumes.
+    the reference consumes.  Uses the native C++ kernel when available
+    (``vibravox_tpu/native``), pure-python DP otherwise.
     """
+    if _NATIVE is not None:
+        a = _codepoints(pred)
+        b = _codepoints(target)
+        max_ops = len(a) + len(b) + 1
+        out = np.empty(3 * max_ops, dtype=np.int32)
+        n_ops = _NATIVE.levenshtein_editops(a, len(a), b, len(b), out, max_ops)
+        if n_ops >= 0:
+            return [
+                (_OP_NAMES[out[3 * k]], int(out[3 * k + 1]), int(out[3 * k + 2]))
+                for k in range(n_ops)
+            ]
+    return _levenshtein_editops_py(pred, target)
+
+
+def _levenshtein_editops_py(pred: str, target: str) -> List[Tuple[str, int, int]]:
     m, n = len(pred), len(target)
     dist = np.zeros((m + 1, n + 1), dtype=np.int32)
     dist[:, 0] = np.arange(m + 1)
@@ -63,7 +111,11 @@ def char_error_rate(preds: Sequence[str], targets: Sequence[str]) -> float:
     total_edits = 0
     total_chars = 0
     for p, t in zip(preds, targets):
-        total_edits += len(levenshtein_editops(p, t))
+        if _NATIVE is not None:
+            a, b = _codepoints(p), _codepoints(t)
+            total_edits += int(_NATIVE.levenshtein_distance(a, len(a), b, len(b)))
+        else:
+            total_edits += len(levenshtein_editops(p, t))
         total_chars += len(t)
     return total_edits / max(total_chars, 1)
 

@@ -37,6 +37,7 @@ __all__ = [
     "wav2vec2_for_ctc_from_pretrained",
     "wav2vec2_for_ctc_from_config",
     "wav2vec2_params_from_torch",
+    "wav2vec2_params_to_torch",
     "TINY_W2V2_CONFIG",
 ]
 
@@ -397,6 +398,67 @@ def wav2vec2_params_from_torch(sd: Dict[str, np.ndarray], config: Wav2Vec2Config
     )
     p["lm_head"] = lin("lm_head")
     return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+def wav2vec2_params_to_torch(params: Any, config: Wav2Vec2Config) -> Dict[str, np.ndarray]:
+    """Native flax params -> HF torch ``Wav2Vec2ForCTC`` state dict.
+
+    Enables the phonemizer hub-upload flow (the reference pushes
+    ``Wav2Vec2ForCTC`` weights — ``wav2vec2_for_stp.py:139-154``).
+    """
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_lin(prefix, node):
+        sd[f"{prefix}.weight"] = np.asarray(node["kernel"]).T
+        sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    def put_ln(prefix, node):
+        sd[f"{prefix}.weight"] = np.asarray(node["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    fe = p["feature_encoder"]
+    for i in range(len(config.conv_dim)):
+        w = np.asarray(fe[f"conv_{i}"]["kernel"])
+        sd[f"wav2vec2.feature_extractor.conv_layers.{i}.conv.weight"] = np.transpose(w, (2, 1, 0))
+        if config.conv_bias:
+            sd[f"wav2vec2.feature_extractor.conv_layers.{i}.conv.bias"] = np.asarray(
+                fe[f"conv_{i}"]["bias"]
+            )
+    if config.feat_extract_norm == "group":
+        put_ln("wav2vec2.feature_extractor.conv_layers.0.layer_norm", fe["group_norm"])
+    else:
+        for i in range(len(config.conv_dim)):
+            put_ln(f"wav2vec2.feature_extractor.conv_layers.{i}.layer_norm", fe[f"layer_norm_{i}"])
+
+    put_ln("wav2vec2.feature_projection.layer_norm", p["feat_proj_layer_norm"])
+    put_lin("wav2vec2.feature_projection.projection", p["feat_projection"])
+
+    pce = p["pos_conv_embed"]
+    base = "wav2vec2.encoder.pos_conv_embed.conv"
+    sd[f"{base}.parametrizations.weight.original0"] = np.asarray(pce["conv_g"]).reshape(1, 1, -1)
+    sd[f"{base}.parametrizations.weight.original1"] = np.transpose(
+        np.asarray(pce["conv_v"]), (2, 1, 0)
+    )
+    sd[f"{base}.bias"] = np.asarray(pce["conv_bias"])
+    put_ln("wav2vec2.encoder.layer_norm", p["encoder_layer_norm"])
+
+    for i in range(config.num_hidden_layers):
+        b = f"wav2vec2.encoder.layers.{i}"
+        layer = p[f"layer_{i}"]
+        put_lin(f"{b}.attention.q_proj", layer["q_proj"])
+        put_lin(f"{b}.attention.k_proj", layer["k_proj"])
+        put_lin(f"{b}.attention.v_proj", layer["v_proj"])
+        put_lin(f"{b}.attention.out_proj", layer["out_proj"])
+        put_ln(f"{b}.layer_norm", layer["layer_norm"])
+        put_lin(f"{b}.feed_forward.intermediate_dense", layer["intermediate_dense"])
+        put_lin(f"{b}.feed_forward.output_dense", layer["output_dense"])
+        put_ln(f"{b}.final_layer_norm", layer["final_layer_norm"])
+
+    if "masked_spec_embed" in p:
+        sd["wav2vec2.masked_spec_embed"] = np.asarray(p["masked_spec_embed"])
+    put_lin("lm_head", p["lm_head"])
+    return sd
 
 
 # --------------------------------------------------------------------------- #
