@@ -1,0 +1,151 @@
+"""Core substrate tests: config composition, checkpointing, mesh, loaders."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vibravox_tpu.core.checkpoint import CheckpointManager
+from vibravox_tpu.core.config import Config, compose, instantiate
+from vibravox_tpu.data.loader import DataLoader
+from vibravox_tpu.parallel.mesh import MeshConfig, build_mesh, shard_batch
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
+
+
+class TestConfigCompose:
+    def test_group_selection_and_interpolation(self):
+        cfg = compose(CONFIG_DIR, "run", ["lightning_datamodule=bwe", "lightning_module=eben"])
+        assert cfg.lightning_datamodule.sample_rate == 16000
+        assert cfg.description == "bwe: rigid_in_ear_microphone"
+        assert "EBEN(M=4,P=2,Q=4)" in cfg.lightning_module.description
+        # nested defaults with @renaming resolved
+        assert cfg.lightning_module.generator_optimizer._partial_ is True
+        assert cfg.lightning_module.generator_optimizer.lr == pytest.approx(3e-4)
+
+    def test_value_overrides(self):
+        cfg = compose(CONFIG_DIR, "run", [
+            "lightning_datamodule=bwe", "lightning_module=eben",
+            "lightning_datamodule.batch_size=4",
+            "++trainer.max_epochs=7",
+            "+trainer.brand_new_key=hello",
+        ])
+        assert cfg.lightning_datamodule.batch_size == 4
+        assert cfg.trainer.max_epochs == 7
+        assert cfg.trainer.brand_new_key == "hello"
+
+    def test_plus_on_existing_key_fails(self):
+        with pytest.raises(ValueError):
+            compose(CONFIG_DIR, "run", [
+                "lightning_datamodule=bwe", "lightning_module=eben",
+                "+lightning_datamodule.batch_size=4",
+            ])
+
+    def test_group_option_switch(self):
+        cfg = compose(CONFIG_DIR, "run", [
+            "lightning_datamodule=bwe", "lightning_module=eben",
+            "lightning_datamodule.data_augmentation=aggressive",
+        ])
+        assert cfg.lightning_datamodule.data_augmentation.p_data_augmentation == 1.0
+
+    def test_scientific_notation_is_float(self):
+        cfg = compose(CONFIG_DIR, "run", ["lightning_datamodule=bwe", "lightning_module=eben"])
+        assert isinstance(cfg.lightning_module.generator_optimizer.lr, float)
+
+    def test_instantiate_partial_and_tuple(self):
+        node = Config({
+            "_target_": "vibravox_tpu.core.optim.adam",
+            "_partial_": True,
+            "lr": 1e-3,
+            "betas": {"_target_": "builtins.tuple", "_args_": [[0.5, 0.9]]},
+        })
+        opt_factory = instantiate(node)
+        opt = opt_factory()
+        assert hasattr(opt, "init") and hasattr(opt, "update")
+
+
+class TestCheckpointManager:
+    def _state(self, value: float):
+        return {"params": {"w": jnp.full((4,), value)}, "step": jnp.asarray(1)}
+
+    def test_last_round_trip(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), save_last=True)
+        mgr.save(self._state(3.0), step=5)
+        restored = mgr.restore(self._state(0.0), "last")
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), 3.0)
+
+    def test_top_k_pruning_and_best(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), monitor="stoi", mode="max", save_top_k=2)
+        for step, stoi in [(1, 0.5), (2, 0.8), (3, 0.6), (4, 0.9)]:
+            mgr.save(self._state(float(step)), step=step, metrics={"stoi": stoi})
+        assert mgr.best_step() == 4
+        kept = sorted(p.name for p in tmp_path.glob("step_*"))
+        assert kept == ["step_00000002", "step_00000004"]
+        best = mgr.restore(self._state(0.0), "best")
+        np.testing.assert_array_equal(np.asarray(best["params"]["w"]), 4.0)
+
+    def test_min_mode(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), monitor="loss", mode="min", save_top_k=1)
+        mgr.save(self._state(1.0), 1, {"loss": 2.0})
+        mgr.save(self._state(2.0), 2, {"loss": 1.0})
+        mgr.save(self._state(3.0), 3, {"loss": 5.0})
+        assert mgr.best_step() == 2
+
+
+class TestMesh:
+    def test_mesh_shape(self):
+        mesh = build_mesh(MeshConfig(data=-1, model=1))
+        assert mesh.shape["data"] == jax.device_count()
+        assert mesh.shape["model"] == 1
+
+    def test_shard_batch_divisible_and_fallback(self):
+        mesh = build_mesh()
+        n = mesh.shape["data"]
+        batch = {"x": np.zeros((n * 2, 10), np.float32), "y": np.zeros((1, 10), np.float32)}
+        sharded = shard_batch(mesh, batch)
+        assert sharded["x"].sharding.is_fully_replicated is False
+        assert sharded["y"].sharding.is_fully_replicated is True
+
+    def test_bad_mesh_rejected(self):
+        with pytest.raises(ValueError):
+            MeshConfig(data=3, model=5).resolve(8)
+
+
+class TestDataLoader:
+    class _Src:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"v": np.asarray([i], np.float32)}
+
+    def test_shuffle_deterministic_and_epoch_varying(self):
+        def collate(items):
+            return {"v": np.stack([x["v"] for x in items])}
+
+        l1 = DataLoader(self._Src(), collate, 2, shuffle=True, seed=1)
+        l2 = DataLoader(self._Src(), collate, 2, shuffle=True, seed=1)
+        e1 = [b["v"].ravel().tolist() for b in l1]
+        e2 = [b["v"].ravel().tolist() for b in l2]
+        assert e1 == e2  # same seed, same first epoch
+        e1b = [b["v"].ravel().tolist() for b in l1]
+        assert e1 != e1b  # second epoch reshuffles
+
+    def test_drop_last(self):
+        def collate(items):
+            return {"v": np.stack([x["v"] for x in items])}
+
+        loader = DataLoader(self._Src(), collate, 4, drop_last=True)
+        assert len(loader) == 2
+        assert sum(1 for _ in loader) == 2
+
+    def test_worker_error_propagates(self):
+        def bad_collate(items):
+            raise RuntimeError("boom")
+
+        loader = DataLoader(self._Src(), bad_collate, 2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
