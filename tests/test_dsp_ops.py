@@ -200,3 +200,39 @@ class TestAugmentation:
         y1, y2 = aug(x, x, rng=np.random.default_rng(1), jax_rng=jax.random.key(1))
         assert y1.shape == y2.shape
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# Pallas fused framed-DFT kernel
+# --------------------------------------------------------------------------- #
+
+
+class TestPallasSTFT:
+    @pytest.mark.parametrize("fft,hop,win", [(512, 50, 240), (1024, 120, 600), (2048, 240, 1200)])
+    def test_matches_xla_path(self, fft, hop, win, rng_np):
+        from vibravox_tpu.ops.pallas_stft import framed_dft_magnitude
+        from vibravox_tpu.ops.stft import stft_magnitude
+
+        x = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        ours = framed_dft_magnitude(x, fft, hop, win)
+        ref = stft_magnitude(x, fft, hop, win)
+        assert ours.shape == ref.shape
+        rel = float(jnp.max(jnp.abs(ours - ref)) / jnp.max(ref))
+        assert rel < 1e-5
+
+    def test_loss_with_pallas_flag_matches(self, rng_np):
+        x = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        y = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        base = MultiResolutionSTFTLoss((512,), (50,), (240,), sample_rate=16000,
+                                       perceptual_weighting=True, use_pallas=False)
+        pal = MultiResolutionSTFTLoss((512,), (50,), (240,), sample_rate=16000,
+                                      perceptual_weighting=True, use_pallas=True)
+        np.testing.assert_allclose(float(base(x, y)), float(pal(x, y)), rtol=1e-4)
+
+    def test_pallas_loss_gradient(self, rng_np):
+        pal = MultiResolutionSTFTLoss((512,), (50,), (240,), sample_rate=16000,
+                                      use_pallas=True)
+        x = jnp.asarray(rng_np.standard_normal((1, 8000)).astype(np.float32))
+        y = jnp.asarray(rng_np.standard_normal((1, 8000)).astype(np.float32))
+        g = jax.grad(lambda a: pal(a, y))(x)
+        assert bool(jnp.all(jnp.isfinite(g)))

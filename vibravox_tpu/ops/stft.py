@@ -203,8 +203,14 @@ class MultiResolutionSTFTLoss:
         perceptual_weighting: bool = False,
         w_sc: float = 1.0,
         w_log_mag: float = 1.0,
+        use_pallas: bool | None = None,
     ):
         assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
+        if use_pallas is None:
+            import os
+
+            use_pallas = os.environ.get("VIBRAVOX_PALLAS", "0") == "1"
+        self.use_pallas = bool(use_pallas)
         self.resolutions: Tuple[Tuple[int, int, int], ...] = tuple(
             zip(map(int, fft_sizes), map(int, hop_sizes), map(int, win_lengths))
         )
@@ -228,6 +234,17 @@ class MultiResolutionSTFTLoss:
             x = apply_fir(x, self.prefilter_taps)
             y = apply_fir(y, self.prefilter_taps)
         loss = 0.0
+        if self.use_pallas:
+            from vibravox_tpu.ops.pallas_stft import framed_dft_magnitude
+
+            for fft, hop, win in self.resolutions:
+                x_mag = framed_dft_magnitude(x, fft, hop, win)
+                y_mag = framed_dft_magnitude(y, fft, hop, win)
+                loss = loss + (
+                    self.w_sc * spectral_convergence(x_mag, y_mag)
+                    + self.w_log_mag * log_magnitude_l1(x_mag, y_mag)
+                )
+            return loss / len(self.resolutions)
         for (fft, hop, win), window in zip(self.resolutions, self.windows):
             loss = loss + stft_loss(x, y, fft, hop, win, window, self.w_sc, self.w_log_mag)
         return loss / len(self.resolutions)
