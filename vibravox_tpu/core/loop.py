@@ -189,6 +189,8 @@ class Trainer:
         if ckpt_path and self.checkpoint is not None and self.checkpoint.has_last():
             self.state = self.checkpoint.restore(self.state, ckpt_path)
         metrics = self._evaluate(task, datamodule.test_dataloader(), "test")
+        if hasattr(task, "on_test_end"):
+            task.on_test_end(self.state)
         self.logger.flush()
         return metrics
 

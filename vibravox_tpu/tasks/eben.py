@@ -70,6 +70,9 @@ class EBENTask:
     beta_ema: float = 0.9
     update_discriminator_ratio: float = 1.0
     description: Optional[str] = None
+    # after trainer.test: export the generator to the hub (ref eben.py:177-182)
+    push_to_hub_after_testing: bool = False
+    hub_repo_id: Optional[str] = None
     # mixed precision: network compute dtype for training ("bfloat16" is
     # essential on TPU, where f32 matmul paths are software-emulated — but
     # bf16 is itself emulated on CPU, so the default is None and the TPU
@@ -93,6 +96,18 @@ class EBENTask:
     def eval_metrics(self, outputs) -> Dict[str, float]:
         """Host-side SE metrics at 16 kHz (ref ``base_se.py:67-106``)."""
         return self._se_metrics(outputs)
+
+    def on_test_end(self, state) -> None:
+        """Optional hub export of the trained generator (ref ``eben.py:177-182``)."""
+        if not self.push_to_hub_after_testing:
+            return
+        from vibravox_tpu.models.hub import push_eben_generator_to_hub
+
+        repo = self.hub_repo_id or "Cnam-LMSSC/EBEN_export"
+        push_eben_generator_to_hub(
+            jax.device_get(state.gen_params), repo,
+            m=self.generator.m, n=self.generator.n, p=self.generator.p,
+        )
 
     # ------------------------------------------------------------------ #
     # state
