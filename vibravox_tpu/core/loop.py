@@ -158,6 +158,12 @@ class Trainer:
                 count += 1
                 if i < self.num_audio_logs and stage in ("validation", "test"):
                     self._log_audio(task, outputs, stage, dl_name, i)
+                    if getattr(task, "last_decoded", None):
+                        pred, target = task.last_decoded
+                        self.logger.log_text(
+                            f"{stage}_{dl_name or 'main'}_{i}/decode",
+                            f"pred: {pred}\ntarget: {target}", self._num_val_runs,
+                        )
             if count:
                 for k, v in sums.items():
                     all_metrics[f"{stage}/{k}{suffix}"] = v / count

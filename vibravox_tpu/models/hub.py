@@ -81,8 +81,51 @@ def eben_discriminator_from_pretrained(repo_or_path: str, q: int = 4, min_channe
     )
 
 
-def save_eben_generator(params: Any, save_dir: str, m: int = 4, n: int = 32, p: int = 2) -> str:
-    """Write hub-layout files (safetensors + config.json) for an EBEN generator."""
+_MODEL_CARD = """---
+language: fr
+license: mit
+tags:
+  - audio
+  - audio-to-audio
+  - speech
+datasets:
+  - Cnam-LMSSC/vibravox
+model-index:
+  - name: EBEN(M={m},P={p},Q=?)
+    results:
+      - task:
+          name: Bandwidth Extension
+          type: speech-enhancement
+        dataset:
+          name: Vibravox["{sensor}"]
+          type: Cnam-LMSSC/vibravox
+          args: fr
+        metrics:
+          - name: Test STOI, in-domain training
+            type: stoi
+            value: {stoi}
+---
+
+# EBEN(M={m},P={p}) — trained with vibravox-tpu
+
+Bandwidth-extension model for body-conduction sensor speech, trained with the
+TPU-native vibravox-tpu framework. Weights are stored in the reference
+PyTorch layout and load in both frameworks:
+
+```python
+# vibravox-tpu (JAX)
+from vibravox_tpu.models.hub import eben_generator_from_pretrained
+model, params = eben_generator_from_pretrained("THIS_REPO")
+enhanced, bands = model.apply(params, model.cut_to_valid_length(audio_16k))
+```
+"""
+
+
+def save_eben_generator(
+    params: Any, save_dir: str, m: int = 4, n: int = 32, p: int = 2,
+    sensor: str = "YOUR_MIC", test_stoi: Any = "???",
+) -> str:
+    """Write hub-layout files (safetensors + config.json + model card)."""
     out = Path(save_dir)
     out.mkdir(parents=True, exist_ok=True)
     sd = eben_generator_params_to_torch(params, m=m, n=n)
@@ -93,6 +136,9 @@ def save_eben_generator(params: Any, save_dir: str, m: int = 4, n: int = 32, p: 
         weights = out / "pytorch_model.bin"
         save_torch_state_dict(sd, str(weights))
     (out / "config.json").write_text(json.dumps({"m": m, "n": n, "p": p}))
+    (out / "README.md").write_text(
+        _MODEL_CARD.format(m=m, p=p, sensor=sensor, stoi=test_stoi)
+    )
     return str(weights)
 
 

@@ -123,4 +123,7 @@ class Wav2Vec2STPTask:
         targets = outputs["host"].get("phonemes_str", [])
         if not targets:
             return {}
+        # keep the last decode pair for text logging (ref logs predicted vs
+        # target phoneme strings to TB — ``wav2vec2_for_stp.py:202-207``)
+        self.last_decoded = (decoded[0], targets[0]) if decoded else None
         return {"char_error_rate": char_error_rate(decoded, list(targets))}
