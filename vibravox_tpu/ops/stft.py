@@ -204,6 +204,7 @@ class MultiResolutionSTFTLoss:
         w_sc: float = 1.0,
         w_log_mag: float = 1.0,
         use_pallas: bool | None = None,
+        upcast_to_f32: bool = True,
     ):
         assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
         if use_pallas is None:
@@ -211,6 +212,10 @@ class MultiResolutionSTFTLoss:
 
             use_pallas = os.environ.get("VIBRAVOX_PALLAS", "0") == "1"
         self.use_pallas = bool(use_pallas)
+        # reductions/magnitudes always accumulate in f32; with
+        # upcast_to_f32=False the DFT matmuls run in the *input* dtype
+        # (bf16 on TPU — several x faster, ~1e-2 relative loss noise)
+        self.upcast_to_f32 = bool(upcast_to_f32)
         self.resolutions: Tuple[Tuple[int, int, int], ...] = tuple(
             zip(map(int, fft_sizes), map(int, hop_sizes), map(int, win_lengths))
         )
@@ -224,9 +229,9 @@ class MultiResolutionSTFTLoss:
             self.prefilter_taps = jnp.asarray(a_weighting_fir(int(sample_rate)))
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        # FFT/log reductions always in f32 (bf16 FFT is unsupported/lossy)
-        x = x.astype(jnp.float32)
-        y = y.astype(jnp.float32)
+        if self.upcast_to_f32:
+            x = x.astype(jnp.float32)
+            y = y.astype(jnp.float32)
         if x.ndim == 3:  # (B, T, C) -> fold channels into batch
             x = x.reshape(-1, x.shape[1]) if x.shape[2] == 1 else jnp.moveaxis(x, 2, 1).reshape(-1, x.shape[1])
             y = y.reshape(-1, y.shape[1]) if y.shape[2] == 1 else jnp.moveaxis(y, 2, 1).reshape(-1, y.shape[1])
