@@ -130,3 +130,18 @@ class TestEBENEvalStep:
         )
         assert "reference" not in out
         assert out["logs"] == {}
+
+    def test_gradient_accumulation(self, batch):
+        task = make_task(
+            feature_matching_loss_fn=None, adversarial_loss_fn=None,
+            dynamic_loss_balancing=None, accumulate_grad_batches=2,
+        )
+        state = task.init_state(jax.random.key(3), batch)
+        step = jax.jit(task.train_step)
+        g0 = np.asarray(state.gen_params["params"]["last_conv"]["kernel"])
+        state, _ = step(state, batch)
+        g1 = np.asarray(state.gen_params["params"]["last_conv"]["kernel"])
+        np.testing.assert_array_equal(g0, g1)  # first micro-batch: accumulate only
+        state, _ = step(state, batch)
+        g2 = np.asarray(state.gen_params["params"]["last_conv"]["kernel"])
+        assert not np.allclose(g0, g2)  # second micro-batch applies the update

@@ -62,7 +62,8 @@ class CheckpointManager:
     def _persist_index(self) -> None:
         self._index_path.write_text(json.dumps(self._index, indent=1))
 
-    def save(self, state: Any, step: int, metrics: Optional[Dict[str, float]] = None) -> None:
+    def save(self, state: Any, step: int, metrics: Optional[Dict[str, float]] = None,
+             trainer_state: Optional[Dict[str, Any]] = None) -> None:
         """Save ``last`` and, when the monitored metric qualifies, a top-k entry."""
         if self.save_last:
             last = self.dirpath / "last"
@@ -70,6 +71,8 @@ class CheckpointManager:
                 shutil.rmtree(last)
             self._ckptr.save(last.absolute(), state)
             self._ckptr.wait_until_finished()
+            if trainer_state is not None:
+                (self.dirpath / "trainer_state.json").write_text(json.dumps(trainer_state))
 
         if self.monitor is None or not metrics or self.monitor not in metrics:
             return
@@ -128,3 +131,7 @@ class CheckpointManager:
 
     def has_last(self) -> bool:
         return (self.dirpath / "last").exists()
+
+    def trainer_state(self) -> Dict[str, Any]:
+        path = self.dirpath / "trainer_state.json"
+        return json.loads(path.read_text()) if path.exists() else {}

@@ -86,6 +86,9 @@ class Trainer:
             self.state = dp.init_state(jax.random.key(self.seed), example)
             if self.checkpoint is not None and self.checkpoint.has_last():
                 self.state = self.checkpoint.restore(self.state, "last")
+                progress = self.checkpoint.trainer_state()
+                self.current_epoch = int(progress.get("epoch", -1)) + 1
+                self.global_step = int(progress.get("global_step", 0))
 
         if getattr(task, "description", None):
             self.logger.log_text("description", task.description)
@@ -127,7 +130,10 @@ class Trainer:
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_metrics = self._evaluate(task, datamodule.val_dataloader(), "validation")
             if self.checkpoint is not None:
-                self.checkpoint.save(self.state, self.global_step, val_metrics)
+                self.checkpoint.save(
+                    self.state, self.global_step, val_metrics,
+                    trainer_state={"epoch": epoch, "global_step": self.global_step},
+                )
         self.logger.flush()
 
     # ------------------------------------------------------------------ #

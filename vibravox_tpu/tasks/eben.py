@@ -73,6 +73,10 @@ class EBENTask:
     # after trainer.test: export the generator to the hub (ref eben.py:177-182)
     push_to_hub_after_testing: bool = False
     hub_repo_id: Optional[str] = None
+    # gradient accumulation: wrap both optimizers in optax.MultiSteps so k
+    # micro-batches accumulate before each apply (the reference's commented
+    # ``accumulate_grad_batches`` trainer knob — configs/trainer/ddp.yaml:12)
+    accumulate_grad_batches: int = 1
     # mixed precision: network compute dtype for training ("bfloat16" is
     # essential on TPU, where f32 matmul paths are software-emulated — but
     # bf16 is itself emulated on CPU, so the default is None and the TPU
@@ -88,7 +92,10 @@ class EBENTask:
         for attr in ("generator_optimizer", "discriminator_optimizer"):
             opt = getattr(self, attr)
             if not hasattr(opt, "init") and callable(opt):
-                setattr(self, attr, opt())
+                opt = opt()
+            if self.accumulate_grad_batches > 1:
+                opt = optax.MultiSteps(opt, every_k_schedule=self.accumulate_grad_batches)
+            setattr(self, attr, opt)
         from vibravox_tpu.tasks.se_metrics import SEMetrics
 
         self._se_metrics = SEMetrics(self.sample_rate)

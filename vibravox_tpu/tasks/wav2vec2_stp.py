@@ -38,12 +38,17 @@ class Wav2Vec2STPTask:
     freeze_feature_encoder: bool = True
     description: Optional[str] = None
     tokenizer: Any = None  # wired by run.py / trainer from the datamodule
+    accumulate_grad_batches: int = 1
 
     def __post_init__(self):
         if not hasattr(self.wav2vec2_for_ctc, "config") and callable(self.wav2vec2_for_ctc):
             self.wav2vec2_for_ctc = self.wav2vec2_for_ctc()
         if not hasattr(self.optimizer, "init") and callable(self.optimizer):
             self.optimizer = self.optimizer()
+        if self.accumulate_grad_batches > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=self.accumulate_grad_batches
+            )
         self.blank_id = int(self.wav2vec2_for_ctc.config.pad_token_id)
 
     # ------------------------------------------------------------------ #
