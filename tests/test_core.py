@@ -149,3 +149,43 @@ class TestDataLoader:
         loader = DataLoader(self._Src(), bad_collate, 2)
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
+
+
+class TestTrainerResume:
+    def test_fit_resumes_from_last_checkpoint(self, tmp_path):
+        import optax
+
+        from vibravox_tpu.core.loop import Trainer
+        from vibravox_tpu.data.stp import STPDataModule
+        from vibravox_tpu.data.phonemes import build_phoneme_tokenizer
+        from vibravox_tpu.models.wav2vec2 import wav2vec2_for_ctc_from_config
+        from vibravox_tpu.tasks.wav2vec2_stp import Wav2Vec2STPTask
+
+        dm = STPDataModule(
+            dataset_name_principal="synthetic", batch_size=2, synthetic_size=4,
+            tokenizer=build_phoneme_tokenizer(),
+        )
+        model = wav2vec2_for_ctc_from_config(preset="tiny")
+
+        def make(max_epochs):
+            task = Wav2Vec2STPTask(
+                wav2vec2_for_ctc=model, optimizer=optax.adam(1e-4),
+                tokenizer=dm.tokenizer,
+            )
+            mgr = CheckpointManager(str(tmp_path / "ckpt"), save_last=True)
+            return task, Trainer(
+                max_epochs=max_epochs, limit_train_batches=1, limit_val_batches=1,
+                checkpoint=mgr, log_every_n_steps=1,
+            )
+
+        task, t1 = make(1)
+        t1.fit(task, dm)
+        assert t1.global_step == 1
+        step_after_first = int(np.asarray(t1.state.step))
+
+        # a fresh Trainer resumes epoch counting + optimizer/train state
+        task2, t2 = make(2)
+        t2.fit(task2, dm)
+        assert t2.current_epoch == 1  # resumed past epoch 0
+        assert t2.global_step == 2
+        assert int(np.asarray(t2.state.step)) == step_after_first + 1
