@@ -149,11 +149,50 @@ def a_weighting_fir(sample_rate: int, ntaps: int = 101) -> np.ndarray:
     return taps.astype(np.float32)
 
 
-def apply_fir(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """Filter (B, T) with a linear-phase FIR, 'same' output length."""
+@jax.custom_vjp
+def _fir_same(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    k = taps.shape[0]
     w = taps[::-1][:, None, None]  # (k, 1, 1): true convolution
-    y = conv1d(x[:, :, None], w, padding=(taps.shape[0] // 2, (taps.shape[0] - 1) // 2))
+    y = conv1d(x[:, :, None], w, padding=(k // 2, (k - 1) // 2))
     return y[:, :, 0]
+
+
+def _fir_same_fwd(x, taps):
+    return _fir_same(x, taps), (x, taps)
+
+
+def _fir_same_bwd(res, g):
+    # Hand-written backward expressed as *forward* convs.  XLA's autodiff
+    # emits an lhs-dilated gradient conv for this op, which on this backend
+    # hits a flat ~29 ms layout pathology for (B, 40k) single-channel audio
+    # (round-1 ablation); a plain stride-1 correlation is ~100x faster.
+    x, taps = res
+    k = taps.shape[0]
+    pl, pr = k // 2, (k - 1) // 2
+    # dx[s] = sum_i taps[i] * g[s + pl - k + 1 + i]: correlation with the
+    # UN-flipped taps, padding (k-1-pl, k-1-pr)
+    dx = conv1d(g[:, :, None], taps[:, None, None], padding=(k - 1 - pl, k - 1 - pr))[:, :, 0]
+    # dtaps[i] = sum_{b,t} g[b,t] * xpad[b, t + k - 1 - i]: one valid-padded
+    # correlation with batch folded into the channel dim
+    xpad = jnp.pad(x, [(0, 0), (pl, pr)])
+    lhs = jnp.transpose(xpad, (1, 0))[None]  # (1, T+k-1, B)
+    rhs = jnp.transpose(g, (1, 0))[:, :, None]  # (T, B, 1)
+    out = conv1d(lhs, rhs, padding=0)[0, :, 0]  # (k,)
+    dtaps = out[::-1].astype(taps.dtype)
+    return dx.astype(x.dtype), dtaps
+
+
+_fir_same.defvjp(_fir_same_fwd, _fir_same_bwd)
+
+
+def apply_fir(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Filter (B, T) with a linear-phase FIR, 'same' output length.
+
+    Custom-vjp: the gradient w.r.t. the signal is emitted as another
+    stride-1 forward correlation instead of XLA's transposed/dilated
+    gradient conv (pathologically slow on this TPU backend).
+    """
+    return _fir_same(x, taps)
 
 
 # --------------------------------------------------------------------------- #
