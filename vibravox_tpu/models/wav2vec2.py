@@ -227,6 +227,7 @@ class Wav2Vec2ForCTCModule(nn.Module):
         input_values: jnp.ndarray,
         train: bool = False,
         freeze_feature_encoder: bool = False,
+        return_features: bool = False,
     ) -> jnp.ndarray:
         cfg = self.config
         deterministic = not train
@@ -278,6 +279,10 @@ class Wav2Vec2ForCTCModule(nn.Module):
             else:
                 h = layer(h, deterministic)
 
+        if return_features:
+            # last-layer hidden states (B, T', hidden) — SSL feature surface
+            # used by e.g. the SQUIM subjective (NORESQA-MOS) predictor
+            return h
         h = nn.Dropout(cfg.final_dropout)(h, deterministic=deterministic)
         return nn.Dense(cfg.vocab_size, name="lm_head")(h)
 
