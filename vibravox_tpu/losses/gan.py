@@ -40,14 +40,18 @@ def feature_matching_loss(
     provides the normalizer, matching the reference exactly.
     """
     loss = 0.0
-    n_layers = len(embeddings_a[0][1:-1])
     for scale_a, scale_b in zip(embeddings_a, embeddings_b):
         for layer_a, layer_b in zip(scale_a[1:-1], scale_b[1:-1]):
             layer_a = layer_a.astype(jnp.float32)
             layer_b = layer_b.astype(jnp.float32)
             l1 = jnp.mean(jnp.abs(layer_a - layer_b))
             loss = loss + l1 / jnp.mean(jnp.abs(layer_a))
-    return loss / (len(embeddings_a) * n_layers)
+    # the reference normalizes by len(scale_a[1:-1]) AFTER the loop, where
+    # scale_a has leaked from the last iteration (feature_loss.py:48) — with
+    # unequal per-scale depths that is the LAST scale's layer count, and the
+    # EBEN multi-scale embeddings are unequal, so reproduce the quirk exactly
+    n_layers_last = len(embeddings_a[-1][1:-1])
+    return loss / (len(embeddings_a) * n_layers_last)
 
 
 class HingeLoss:

@@ -63,7 +63,9 @@ def _kernel(xb_hbm, wre_ref, wim_ref, out_ref, *, j_blocks: int, eps: float, tf:
                               preferred_element_type=jnp.float32)
             im = im + jnp.dot(xs, wim_ref[j * hp : (j + 1) * hp, :],
                               preferred_element_type=jnp.float32)
-        out_ref[0] = jnp.sqrt(jnp.clip(re * re + im * im, min=eps * eps))
+        # clamp POWER at eps before the sqrt — the torch.stft/auraloss
+        # convention the XLA path (ops/stft.py stft_magnitude) follows
+        out_ref[0] = jnp.sqrt(jnp.clip(re * re + im * im, min=eps))
 
     pl.run_scoped(
         body,

@@ -143,9 +143,10 @@ def a_weighting_fir(sample_rate: int, ntaps: int = 101) -> np.ndarray:
     )
     den = np.polymul(np.polymul(den, [1, 2 * np.pi * f3]), [1, 2 * np.pi * f2])
     b, a = sps.bilinear(num, den, fs=sample_rate)
-    w = np.linspace(0, sample_rate / 2, 512)
-    _, h = sps.freqz(b, a, worN=w, fs=sample_rate)
-    taps = sps.firwin2(ntaps, w, np.abs(h), fs=sample_rate)
+    # least-squares FIR fit on the 512-point freqz grid — the exact recipe of
+    # the auraloss FIRFilter("aw") prefilter the reference loss is built on
+    w, h = sps.freqz(b, a, worN=512, fs=sample_rate)
+    taps = sps.firls(ntaps, w, np.abs(h), fs=sample_rate)
     return taps.astype(np.float32)
 
 
@@ -201,10 +202,12 @@ def apply_fir(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
 
 
 def spectral_convergence(x_mag: jnp.ndarray, y_mag: jnp.ndarray) -> jnp.ndarray:
-    """|| |Y|-|X| ||_F / || |Y| ||_F per batch element, then mean."""
-    num = jnp.sqrt(jnp.sum((y_mag - x_mag) ** 2, axis=(-2, -1)))
-    den = jnp.sqrt(jnp.sum(y_mag**2, axis=(-2, -1)))
-    return jnp.mean(num / den)
+    """|| |Y|-|X| ||_F / || |Y| ||_F over the FULL tensor (auraloss
+    ``SpectralConvergenceLoss`` semantics — a single global Frobenius ratio,
+    not a per-sample mean)."""
+    num = jnp.sqrt(jnp.sum((y_mag - x_mag) ** 2))
+    den = jnp.sqrt(jnp.sum(y_mag**2))
+    return num / den
 
 
 def log_magnitude_l1(x_mag: jnp.ndarray, y_mag: jnp.ndarray) -> jnp.ndarray:
