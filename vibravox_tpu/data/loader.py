@@ -9,6 +9,7 @@ disjoint data — the reference reloads the full dataset on every rank.
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 from typing import Callable, Dict, Iterator, Optional, Sequence
@@ -17,6 +18,14 @@ import jax
 import numpy as np
 
 __all__ = ["DataLoader"]
+
+
+def _has_len(source) -> bool:
+    try:
+        len(source)
+        return True
+    except TypeError:
+        return False
 
 
 class DataLoader:
@@ -39,6 +48,11 @@ class DataLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.epoch = 0
+        # iterable (streaming) sources have no len/__getitem__: batches are
+        # drawn from the stream through a shuffle buffer instead of an index
+        # permutation (the reference's streaming=True HF path — bwe.py:108)
+        self.iterable = not _has_len(source)
+        self.shuffle_buffer = 256
         if shard_by_process and jax.process_count() > 1:
             self.process_slice = (jax.process_index(), jax.process_count())
         else:
@@ -55,18 +69,52 @@ class DataLoader:
         return idx[rank::world]
 
     def __len__(self) -> int:
+        if self.iterable:
+            raise TypeError("streaming DataLoader has no length")
         n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.iterable:
+            yield from self._batches_streaming()
+            return
         idx = self._indices()
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
             yield self.collate_fn([self.source[int(i)] for i in chunk])
+
+    def _batches_streaming(self) -> Iterator[Dict[str, np.ndarray]]:
+        rank, world = self.process_slice
+        it: Iterator = iter(self.source)
+        if world > 1:
+            # strided per-host sharding of the stream (disjoint examples)
+            it = itertools.islice(it, rank, None, world)
+        rng = np.random.default_rng(self.rng.integers(2**31) + self.epoch)
+        buffer: list = []
+        pending: list = []
+
+        def drain_one():
+            i = rng.integers(len(buffer)) if self.shuffle else 0
+            pending.append(buffer.pop(int(i)))
+
+        for item in it:
+            buffer.append(item)
+            if len(buffer) >= (self.shuffle_buffer if self.shuffle else self.batch_size):
+                drain_one()
+            if len(pending) == self.batch_size:
+                yield self.collate_fn(pending)
+                pending = []
+        while buffer:
+            drain_one()
+            if len(pending) == self.batch_size:
+                yield self.collate_fn(pending)
+                pending = []
+        if pending and not self.drop_last:
+            yield self.collate_fn(pending)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         self.epoch += 1

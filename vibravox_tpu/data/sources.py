@@ -134,6 +134,20 @@ class NpzDirectorySource(AudioPairSource):
             return {k: f[k] for k in f.files}
 
 
+def _convert_row(row: Dict, rename: Dict[str, str]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for src, dst in rename.items():
+        cell = row[src]
+        if isinstance(cell, dict) and "array" in cell:
+            out[dst] = np.asarray(cell["array"], dtype=np.float32)
+        else:
+            out[dst] = cell
+    for key in ("speaker_id", "sentence_id", "gender", "phonemized_text"):
+        if key in row:
+            out[key] = row[key]
+    return out
+
+
 class _HFSource(AudioPairSource):
     def __init__(self, hf_dataset, rename: Dict[str, str], sample_rate: int):
         self.ds = hf_dataset
@@ -144,18 +158,28 @@ class _HFSource(AudioPairSource):
         return len(self.ds)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        row = self.ds[idx]
-        out: Dict[str, np.ndarray] = {}
-        for src, dst in self.rename.items():
-            cell = row[src]
-            if isinstance(cell, dict) and "array" in cell:
-                out[dst] = np.asarray(cell["array"], dtype=np.float32)
-            else:
-                out[dst] = cell
-        for key in ("speaker_id", "sentence_id", "gender", "phonemized_text"):
-            if key in row:
-                out[key] = row[key]
-        return out
+        return _convert_row(self.ds[idx], self.rename)
+
+
+class _HFIterableSource(AudioPairSource):
+    """Generator-backed source over an HF ``IterableDataset`` (the
+    ``streaming=True`` path — ref ``bwe.py:108``).  Has no length or random
+    access; the loader batches it through a shuffle buffer."""
+
+    def __init__(self, hf_dataset, rename: Dict[str, str], sample_rate: int):
+        self.ds = hf_dataset
+        self.rename = rename
+        self.sample_rate = sample_rate
+
+    def __len__(self) -> int:  # type: ignore[override]
+        raise TypeError("streaming source has no length")
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        raise TypeError("streaming source has no random access")
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for row in self.ds:
+            yield _convert_row(row, self.rename)
 
 
 def load_hf_vibravox(
@@ -178,7 +202,13 @@ def load_hf_vibravox(
     if reference_sensor:
         rename[f"audio.{reference_sensor}"] = "audio_airborne"
     keep = set(rename) | {"speaker_id", "sentence_id", "gender", "phonemized_text"}
-    ds = ds.remove_columns([c for c in ds.column_names if c not in keep])
+    # an IterableDataset may not know its columns up front; row conversion
+    # only reads the kept keys, so skipping the removal is harmless there
+    cols = ds.column_names
+    if cols:
+        ds = ds.remove_columns([c for c in cols if c not in keep])
     for col in rename:
         ds = ds.cast_column(col, hfd.Audio(sampling_rate=sample_rate))
+    if streaming:
+        return _HFIterableSource(ds, rename, sample_rate)
     return _HFSource(ds, rename, sample_rate)
