@@ -145,3 +145,44 @@ class TestEBENEvalStep:
         state, _ = step(state, batch)
         g2 = np.asarray(state.gen_params["params"]["last_conv"]["kernel"])
         assert not np.allclose(g0, g2)  # second micro-batch applies the update
+
+
+class TestFusedGeneratorStepEquivalence:
+    """train_step's shared-linearization generator update (one full-gen vjp
+    at the lambda-weighted cotangent sum + tail-vjp balancing norms) must
+    equal the naive formulation: lambdas from _balancing_lambdas, then
+    value_and_grad of sum(lambda_i * L_i)."""
+
+    def test_grads_and_norms_match_naive(self, batch):
+        task = make_task(dynamic_loss_balancing="simple",
+                         generator_optimizer=optax.sgd(1.0),
+                         discriminator_optimizer=optax.sgd(0.0))
+        state = task.init_state(jax.random.key(0), batch)
+
+        corrupted = task.generator.cut_to_valid_length(batch["audio_body_conducted"])
+        reference = task.generator.cut_to_valid_length(batch["audio_airborne"])
+        dec_ref = task.generator.pqmf.analysis(reference)
+
+        # naive: lambdas via the tail jacobian, grads via value_and_grad
+        features, first_bands = task.generator.apply(state.gen_params, corrupted, method="front")
+        lambdas, norms = task._balancing_lambdas(state, features, first_bands, reference, dec_ref)
+
+        def naive_loss(gp):
+            enh, dec = task.generator.apply(gp, corrupted)
+            atomic = task._generator_atomic_losses(state.disc_params, enh, reference, dec, dec_ref)
+            return jnp.sum(lambdas * jnp.stack([atomic[k] for k in task.atomic_loss_names]))
+
+        naive_grads = jax.grad(naive_loss)(state.gen_params)
+
+        # fused path: one SGD(1.0) train_step => param delta == -grads
+        new_state, logs = jax.jit(task.train_step)(state, batch)
+        fused_grads = jax.tree_util.tree_map(
+            lambda old, new: old - new, state.gen_params, new_state.gen_params
+        )
+        flat_naive = jax.tree_util.tree_leaves(naive_grads)
+        flat_fused = jax.tree_util.tree_leaves(fused_grads)
+        for a, b in zip(flat_naive, flat_fused):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(new_state.atomic_norms_ema), np.asarray(norms), rtol=1e-5
+        )

@@ -37,8 +37,12 @@ class MimiConfig:
     transformer_layers: int = 8
     transformer_heads: int = 8
     transformer_ff: int = 2048
+    sliding_window: int = 250
     rvq_dimension: int = 256
-    rvq_n_q: int = 8
+    # the released kyutai/mimi codec has 32 quantizers (1 semantic + 31
+    # acoustic); the reference trains with all of them (regressive_mimi.py:29
+    # set_num_codebooks(total_codebooks))
+    rvq_n_q: int = 32
     rvq_codebook_size: int = 2048
     downsample: int = 2  # encoder-side extra stride (25 Hz -> 12.5 Hz)
 
@@ -70,20 +74,22 @@ class MimiModule(nn.Module):
         self.encoder_transformer = MimiTransformer(
             d_model=cfg.dimension, num_layers=cfg.transformer_layers,
             num_heads=cfg.transformer_heads, dim_feedforward=cfg.transformer_ff,
-            name="encoder_transformer",
+            sliding_window=cfg.sliding_window, name="encoder_transformer",
         )
+        # HF MimiModel: biasless downsample conv; biasless per-channel
+        # (groups = hidden) transposed upsample conv
         self.downsample_conv = CausalConv(
             cfg.dimension, 2 * cfg.downsample, stride=cfg.downsample,
-            name="downsample",
+            use_bias=False, pad_mode="replicate", name="downsample",
         )
         self.upsample_conv = CausalConvTranspose(
             cfg.dimension, 2 * cfg.downsample, stride=cfg.downsample,
-            name="upsample",
+            groups=cfg.dimension, use_bias=False, name="upsample",
         )
         self.decoder_transformer = MimiTransformer(
             d_model=cfg.dimension, num_layers=cfg.transformer_layers,
             num_heads=cfg.transformer_heads, dim_feedforward=cfg.transformer_ff,
-            name="decoder_transformer",
+            sliding_window=cfg.sliding_window, name="decoder_transformer",
         )
         self.decoder = SEANetDecoder(
             dimension=cfg.dimension, n_filters=cfg.n_filters, ratios=cfg.ratios,
@@ -114,6 +120,13 @@ class MimiModule(nn.Module):
 
     def decode_latent(self, latent: jnp.ndarray) -> jnp.ndarray:
         quantized, _ = self.quantizer(latent)
+        h = self.upsample_conv(quantized)
+        h = self.decoder_transformer(h)
+        return self.decoder(h)
+
+    def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """RVQ codes (n_q, B, T') -> waveform (B, T, 1)."""
+        quantized = self.quantizer.decode(codes)
         h = self.upsample_conv(quantized)
         h = self.decoder_transformer(h)
         return self.decoder(h)
@@ -151,3 +164,6 @@ class Mimi:
 
     def decode_latent(self, latent, params=None):
         return self.module.apply(params or self.params, latent, method="decode_latent")
+
+    def decode(self, codes, params=None):
+        return self.module.apply(params or self.params, codes, method="decode")

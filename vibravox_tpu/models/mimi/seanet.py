@@ -29,12 +29,18 @@ def _elu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class CausalConv(nn.Module):
-    """Causal (left-padded) 1-D conv with torch-layout-convertible weights."""
+    """Causal 1-D conv with EnCodec/Mimi padding semantics: ``padding_total
+    = k_eff - stride`` on the left plus the extra right padding that
+    completes the last frame (HF ``MimiConv1d._get_extra_padding_for_conv1d``),
+    so converted checkpoint weights reproduce outputs sample-for-sample."""
 
     features: int
     kernel_size: int
     stride: int = 1
     dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    pad_mode: str = "zeros"  # "zeros" | "replicate" (HF downsample uses edge)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -42,24 +48,35 @@ class CausalConv(nn.Module):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (self.kernel_size, in_ch, self.features),
+            (self.kernel_size, in_ch // self.groups, self.features),
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        pad_total = (self.kernel_size - 1) * self.dilation
-        # causal: all padding on the left; with stride, keep the
-        # EnCodec/Mimi convention of padding extra to cover the last frame
-        extra = (x.shape[1] - self.kernel_size) % self.stride if self.stride > 1 else 0
+        k_eff = (self.kernel_size - 1) * self.dilation + 1
+        pad_total = k_eff - self.stride
+        length = x.shape[1]
+        # frames = ceil((L - k_eff + pad_total)/stride + 1) - 1, then pad the
+        # tail so the last frame is complete (HF MimiConv1d semantics)
+        frames = -(-(length - k_eff + pad_total) // self.stride)
+        ideal = frames * self.stride + k_eff - pad_total
+        extra = max(0, ideal - length)
+        if self.pad_mode == "replicate":
+            x = jnp.pad(x, ((0, 0), (pad_total, extra), (0, 0)), mode="edge")
+            pad_total = extra = 0
         y = conv1d(
             x, kernel, stride=self.stride, dilation=self.dilation,
-            padding=(pad_total, (self.stride - extra) % self.stride if self.stride > 1 else 0),
+            groups=self.groups, padding=(pad_total, extra),
         )
-        return y + bias.astype(y.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class CausalConvTranspose(nn.Module):
     features: int
     kernel_size: int
     stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -67,15 +84,18 @@ class CausalConvTranspose(nn.Module):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (in_ch, self.features, self.kernel_size),  # torch layout
+            (in_ch, self.features // self.groups, self.kernel_size),  # torch layout
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = conv_transpose1d(x, kernel, stride=self.stride, padding=0)
+        y = conv_transpose1d(x, kernel, stride=self.stride, padding=0, groups=self.groups)
         # causal trim: remove the transposed conv's right-side overhang
+        # (HF trim_right_ratio=1.0: all of padding_total off the right)
         trim = self.kernel_size - self.stride
         if trim > 0:
             y = y[:, :-trim, :]
-        return y + bias.astype(y.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class SEANetResnetBlock(nn.Module):

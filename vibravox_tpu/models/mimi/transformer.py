@@ -16,19 +16,21 @@ __all__ = ["MimiTransformer"]
 
 
 def _rope(q: jnp.ndarray, k: jnp.ndarray, base: float = 10000.0):
-    """Apply rotary position embeddings to (B, T, H, D) q/k."""
+    """Rotary position embeddings on (B, T, H, D) q/k, in the rotate-half
+    (LLaMA / HF-Mimi) convention: cos/sin are tiled over the two halves and
+    ``rotate_half(x) = [-x2, x1]`` — NOT the interleaved-pair form, so
+    converted HF/moshi weights reproduce attention exactly."""
     t = q.shape[1]
     d = q.shape[-1]
     inv_freq = 1.0 / (base ** (np.arange(0, d, 2) / d))
-    pos = jnp.arange(t)[:, None] * jnp.asarray(inv_freq)[None, :]
-    cos = jnp.cos(pos)[None, :, None, :]
-    sin = jnp.sin(pos)[None, :, None, :]
+    freqs = jnp.arange(t)[:, None] * jnp.asarray(inv_freq)[None, :]  # (T, D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (T, D)
+    cos = jnp.cos(emb)[None, :, None, :]
+    sin = jnp.sin(emb)[None, :, None, :]
 
     def rot(x):
-        x1, x2 = x[..., 0::2], x[..., 1::2]
-        out1 = x1 * cos - x2 * sin
-        out2 = x2 * cos + x1 * sin
-        return jnp.stack([out1, out2], axis=-1).reshape(x.shape)
+        x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+        return x * cos + jnp.concatenate([-x2, x1], axis=-1) * sin
 
     return rot(q), rot(k)
 
@@ -39,10 +41,12 @@ class TransformerLayer(nn.Module):
     dim_feedforward: int
     layer_scale: float = 0.01
     causal: bool = True
+    sliding_window: int | None = 250  # HF MimiConfig.sliding_window
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm1")(x)
         heads, head_dim = self.num_heads, self.d_model // self.num_heads
         q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(h)
         k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(h)
@@ -52,7 +56,12 @@ class TransformerLayer(nn.Module):
             return t.reshape(t.shape[0], t.shape[1], heads, head_dim)
 
         q, k = _rope(split(q), split(k))
-        attn = jax.nn.dot_product_attention(q, k, split(v), is_causal=self.causal)
+        window = (
+            (self.sliding_window - 1, 0) if self.sliding_window is not None else None
+        )
+        attn = jax.nn.dot_product_attention(
+            q, k, split(v), is_causal=self.causal, local_window_size=window
+        )
         attn = nn.Dense(self.d_model, use_bias=False, name="out_proj")(
             attn.reshape(h.shape)
         )
@@ -60,9 +69,9 @@ class TransformerLayer(nn.Module):
                          (self.d_model,))
         x = x + ls1 * attn
 
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(x)
         ff = nn.Dense(self.dim_feedforward, use_bias=False, name="linear1")(h)
-        ff = nn.gelu(ff, approximate=True)
+        ff = nn.gelu(ff, approximate=False)  # HF hidden_act="gelu" (exact)
         ff = nn.Dense(self.d_model, use_bias=False, name="linear2")(ff)
         ls2 = self.param("layer_scale_2", nn.initializers.constant(self.layer_scale),
                          (self.d_model,))
@@ -76,12 +85,15 @@ class MimiTransformer(nn.Module):
     dim_feedforward: int = 2048
     layer_scale: float = 0.01
     causal: bool = True
+    sliding_window: int | None = 250
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = TransformerLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
-                self.layer_scale, self.causal, name=f"layer_{i}",
+                self.layer_scale, self.causal, self.sliding_window,
+                self.norm_eps, name=f"layer_{i}",
             )(x)
         return x
