@@ -186,3 +186,31 @@ class TestFusedGeneratorStepEquivalence:
         np.testing.assert_allclose(
             np.asarray(new_state.atomic_norms_ema), np.asarray(norms), rtol=1e-5
         )
+
+
+class TestTrainerKnobs:
+    def test_track_grad_norm_logs(self, batch):
+        task = make_task(track_grad_norm=2)
+        state = task.init_state(jax.random.key(0), batch)
+        _, logs = jax.jit(task.train_step)(state, batch)
+        assert "train/generator/grad_2.0_norm_total" in logs
+        assert "train/discriminator/grad_2.0_norm_total" in logs
+        assert float(logs["train/generator/grad_2.0_norm_total"]) > 0
+
+    def test_trainer_precision_sets_compute_dtype(self):
+        from vibravox_tpu.core.loop import Trainer
+
+        task = make_task()
+        tr = Trainer(precision="bf16-mixed")
+        tr._apply_precision(task)
+        assert task.compute_dtype == "bfloat16"
+        tr32 = Trainer(precision="32-true")
+        tr32._apply_precision(task)
+        assert task.compute_dtype is None
+
+    def test_overfit_batches_limits(self):
+        from vibravox_tpu.core.loop import Trainer
+
+        tr = Trainer(overfit_batches=3)
+        assert tr.limit_train_batches == 3
+        assert tr.limit_val_batches == 3

@@ -43,7 +43,18 @@ class Trainer:
         seed: int = 42,
         profile_dir: Optional[str] = None,
         num_audio_logs: int = 15,
+        precision: Optional[str] = None,
+        overfit_batches: int = 0,
     ):
+        """``precision``/``overfit_batches`` mirror the reference trainer's
+        (commented) config surface (``configs/trainer/ddp.yaml:12-22``):
+
+        * ``precision``: "32-true"/"32" keeps f32; "bf16-mixed"/"bf16-true"/
+          "bf16" (and "16-*", which map to bf16 on TPU) set the task's
+          ``compute_dtype`` before compilation;
+        * ``overfit_batches``: N > 0 trains on the same first N batches every
+          epoch and validates on the train loader (Lightning semantics).
+        """
         self.max_epochs = max_epochs
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.log_every_n_steps = log_every_n_steps
@@ -56,6 +67,11 @@ class Trainer:
         self.seed = seed
         self.profile_dir = profile_dir
         self.num_audio_logs = num_audio_logs
+        self.precision = precision
+        self.overfit_batches = int(overfit_batches)
+        if self.overfit_batches:
+            self.limit_train_batches = self.overfit_batches
+            self.limit_val_batches = self.overfit_batches
 
         self.state = None
         self.global_step = 0
@@ -65,8 +81,20 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _apply_precision(self, task) -> None:
+        if self.precision is None or not hasattr(task, "compute_dtype"):
+            return
+        p = str(self.precision)
+        if p in ("32", "32-true"):
+            task.compute_dtype = None
+        elif p.startswith(("bf16", "16")):  # 16-* maps to bf16 on TPU
+            task.compute_dtype = "bfloat16"
+        else:
+            raise ValueError(f"unsupported precision {self.precision!r}")
+
     def _ensure_dp(self, task) -> DataParallel:
         if self._dp is None:
+            self._apply_precision(task)
             self._dp = DataParallel(task, build_mesh(self.mesh_config))
         return self._dp
 
@@ -74,6 +102,8 @@ class Trainer:
         datamodule.setup("fit")
         dp = self._ensure_dp(task)
         train_loader = datamodule.train_dataloader()
+        if self.overfit_batches and hasattr(train_loader, "shuffle"):
+            train_loader.shuffle = False  # same first N batches every epoch
 
         # init (or resume) state from an example batch (inference-only tasks
         # may have an empty train loader — the reference runs those with
@@ -128,7 +158,11 @@ class Trainer:
 
             val_metrics: Dict[str, float] = {}
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
-                val_metrics = self._evaluate(task, datamodule.val_dataloader(), "validation")
+                # overfit_batches: validate on the train data (Lightning)
+                val_loader = (
+                    train_loader if self.overfit_batches else datamodule.val_dataloader()
+                )
+                val_metrics = self._evaluate(task, val_loader, "validation")
             if self.checkpoint is not None:
                 self.checkpoint.save(
                     self.state, self.global_step, val_metrics,

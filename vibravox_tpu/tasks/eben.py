@@ -77,6 +77,9 @@ class EBENTask:
     # micro-batches accumulate before each apply (the reference's commented
     # ``accumulate_grad_batches`` trainer knob — configs/trainer/ddp.yaml:12)
     accumulate_grad_batches: int = 1
+    # gradient-norm tracking (the reference's commented ``track_grad_norm``
+    # trainer knob): 2 logs the global L2 grad norm per network, -1 disables
+    track_grad_norm: int = -1
     # mixed precision: network compute dtype for training ("bfloat16" is
     # essential on TPU, where f32 matmul paths are software-emulated — but
     # bf16 is itself emulated on CPU, so the default is None and the TPU
@@ -389,6 +392,8 @@ class EBENTask:
         for k, v in gen_atomic.items():
             logs[f"train/generator/{k}"] = v
         logs["train/generator/backprop_loss"] = gen_total
+        if self.track_grad_norm == 2:
+            logs["train/generator/grad_2.0_norm_total"] = optax.global_norm(gen_grads)
 
         # ---- discriminator update (Bernoulli-gated) ----
         if self.adversarial_loss_fn is not None:
@@ -424,6 +429,8 @@ class EBENTask:
             for k, v in disc_atomic.items():
                 logs[f"train/discriminator/{k}"] = v
             logs["train/discriminator/backprop_loss"] = disc_total
+            if self.track_grad_norm == 2:
+                logs["train/discriminator/grad_2.0_norm_total"] = optax.global_norm(disc_grads)
         else:
             disc_params = state.disc_params
             disc_opt_state = state.disc_opt_state
