@@ -32,6 +32,11 @@ def setup_environment() -> None:
 
     enable_compilation_cache()
     os.environ.setdefault("JAX_TRACEBACK_FILTERING", "auto")
+    # multi-host: join the coordination service when a pod/env topology is
+    # announced (no-op single-process; must precede backend initialization)
+    from vibravox_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
 
 
 def main(argv=None) -> dict:

@@ -1,0 +1,143 @@
+"""Multi-host dry run: N CPU processes, one global mesh, one sharded GAN step.
+
+Validates the `jax.distributed` scaffolding (``parallel/distributed.py``)
+without pod hardware: the parent spawns N worker processes; each worker
+forces the CPU platform with D local virtual devices, joins the
+coordination service, builds the global (N*D)-device mesh, and runs a full
+EBEN GAN train step through ``DataParallel`` — per-process local batches
+are assembled into the global sharded array exactly as a per-host loader
+shard would be.  This is the TPU-native stand-in for the reference's
+DDP/SLURM multi-node path (``configs/trainer/ddp.yaml:4-8``,
+``slurm/*.sh``).
+
+Usage:
+    python scripts/multihost_dryrun.py [--nproc 2] [--devices-per-proc 2]
+Exit code 0 and one MULTIHOST_OK line per worker on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(process_id: int, num_processes: int, port: int, devices_per_proc: int) -> None:
+    # force the virtual CPU backend BEFORE any jax import (CLAUDE.md: the
+    # axon sitecustomize otherwise hijacks the platform selection)
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc} "
+        + os.environ.get("XLA_FLAGS", "")
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from vibravox_tpu.parallel.distributed import initialize_distributed
+
+    assert initialize_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.process_count() == num_processes
+    assert jax.device_count() == num_processes * devices_per_proc
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    from vibravox_tpu.losses.gan import FeatureMatchingLoss, HingeLoss
+    from vibravox_tpu.models.eben_discriminator import DiscriminatorEBENMultiScales
+    from vibravox_tpu.models.eben_generator import EBENGenerator
+    from vibravox_tpu.ops.stft import MultiResolutionSTFTLoss
+    from vibravox_tpu.parallel.mesh import DataParallel, build_mesh
+    from vibravox_tpu.tasks.eben import EBENTask
+
+    task = EBENTask(
+        sample_rate=16000,
+        generator=EBENGenerator(m=4, n=32, p=2),
+        discriminator=DiscriminatorEBENMultiScales(q=4, min_channels=8),
+        generator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
+        discriminator_optimizer=optax.adam(3e-4, b1=0.5, b2=0.9),
+        reconstructive_loss_freq_fn=MultiResolutionSTFTLoss(
+            (512,), (50,), (240,), sample_rate=16000, perceptual_weighting=True,
+            use_pallas=False,
+        ),
+        feature_matching_loss_fn=FeatureMatchingLoss(),
+        adversarial_loss_fn=HingeLoss(),
+        dynamic_loss_balancing="ema",
+    )
+
+    # per-process local batch: one sample per local device, DIFFERENT values
+    # per process (as a per-host loader shard would be)
+    rng = np.random.default_rng(1234 + process_id)
+    t = 4064
+    local = {
+        "audio_body_conducted": jnp.asarray(
+            rng.standard_normal((devices_per_proc, t, 1)).astype(np.float32) * 0.1
+        ),
+        "audio_airborne": jnp.asarray(
+            rng.standard_normal((devices_per_proc, t, 1)).astype(np.float32) * 0.1
+        ),
+    }
+
+    dp = DataParallel(task, build_mesh())
+    state = dp.init_state(jax.random.key(0), local)
+    for _ in range(2):
+        state, logs = dp.train_step(state, local)
+    loss = float(logs["train/generator/backprop_loss"])
+    assert np.isfinite(loss), loss
+    print(f"MULTIHOST_OK process={process_id} loss={loss:.4f}", flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--devices-per-proc", type=int, default=2)
+    ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        worker(args.worker, args.nproc, args.port, args.devices_per_proc)
+        return 0
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--worker", str(i), "--nproc", str(args.nproc),
+                "--port", str(port), "--devices-per-proc", str(args.devices_per_proc),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(args.nproc)
+    ]
+    ok = True
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        sys.stdout.write(out)
+        if p.returncode != 0 or "MULTIHOST_OK" not in out:
+            ok = False
+            print(f"worker {i} FAILED (rc={p.returncode})")
+    print("ALL OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,3 +45,9 @@ def reference_available() -> bool:
 requires_reference = pytest.mark.skipif(
     not reference_available(), reason="PyTorch reference repo not mounted"
 )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running integration tests"
+    )

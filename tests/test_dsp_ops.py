@@ -261,3 +261,131 @@ class TestPallasSTFT:
         y = jnp.asarray(rng_np.standard_normal((1, 8000)).astype(np.float32))
         g = jax.grad(lambda a: pal(a, y))(x)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+    @pytest.mark.parametrize("fft,hop,win", [(512, 50, 240), (1024, 120, 600), (2048, 240, 1200)])
+    def test_gradient_matches_xla_path(self, fft, hop, win, rng_np):
+        """The hand-written Pallas backward must reproduce XLA autodiff of the
+        XLA-path forward (same framing, window, clamp, reflect-pad transpose)."""
+        from vibravox_tpu.ops.pallas_stft import framed_dft_magnitude
+        from vibravox_tpu.ops.stft import stft_magnitude
+
+        x = jnp.asarray(rng_np.standard_normal((2, 6000)).astype(np.float32))
+        mag_ref = stft_magnitude(x, fft, hop, win)
+        g = jnp.asarray(
+            rng_np.standard_normal(mag_ref.shape).astype(np.float32)
+        )
+        _, vjp_ours = jax.vjp(lambda a: framed_dft_magnitude(a, fft, hop, win), x)
+        _, vjp_ref = jax.vjp(lambda a: stft_magnitude(a, fft, hop, win), x)
+        (dx_ours,) = vjp_ours(g)
+        (dx_ref,) = vjp_ref(g)
+        scale = float(jnp.max(jnp.abs(dx_ref)))
+        np.testing.assert_allclose(
+            np.asarray(dx_ours), np.asarray(dx_ref), atol=2e-4 * scale
+        )
+
+    def test_full_loss_gradient_matches_xla(self, rng_np):
+        """End-to-end: grad of the 3-resolution perceptual loss, Pallas vs XLA."""
+        kw = dict(
+            fft_sizes=(512, 1024), hop_sizes=(50, 120), win_lengths=(240, 600),
+            sample_rate=16000, perceptual_weighting=True,
+        )
+        base = MultiResolutionSTFTLoss(use_pallas=False, **kw)
+        pal = MultiResolutionSTFTLoss(use_pallas=True, **kw)
+        x = jnp.asarray(rng_np.standard_normal((2, 6000)).astype(np.float32))
+        y = jnp.asarray(rng_np.standard_normal((2, 6000)).astype(np.float32))
+        g_base = jax.grad(lambda a: base(a, y))(x)
+        g_pal = jax.grad(lambda a: pal(a, y))(x)
+        scale = float(jnp.max(jnp.abs(g_base)))
+        # looser than the per-resolution check: the log-magnitude gradient
+        # multiplies by 1/|X|, which amplifies f32 accumulation-order noise
+        # where |X| sits near the power clamp
+        np.testing.assert_allclose(
+            np.asarray(g_pal), np.asarray(g_base), atol=5e-3 * scale
+        )
+
+
+# --------------------------------------------------------------------------- #
+# Polyphase conv rewrites (transposed-conv forward, strided-conv backward)
+# --------------------------------------------------------------------------- #
+
+
+class TestPolyphaseConv:
+    """conv_transpose1d and the strided-conv custom vjp re-express the
+    backend-pathological lhs-dilated convs as dense polyphase convs; they must
+    match the raw lax formulations exactly."""
+
+    @pytest.mark.parametrize(
+        "cin,cout,k,s,pad,op,groups",
+        [
+            (8, 4, 16, 8, 4, 0, 1),
+            (8, 4, 8, 4, 2, 0, 1),
+            (6, 6, 4, 2, 1, 0, 1),
+            (8, 8, 5, 3, 2, 1, 2),
+            (4, 4, 3, 2, 0, 0, 4),
+            (4, 8, 7, 1, 3, 0, 1),
+        ],
+    )
+    def test_conv_transpose_matches_lhs_dilated(self, cin, cout, k, s, pad, op, groups, rng_np):
+        from vibravox_tpu.ops.conv import conv_transpose1d
+
+        x = jnp.asarray(rng_np.standard_normal((2, 37, cin)).astype(np.float32))
+        w = jnp.asarray(rng_np.standard_normal((cin, cout // groups, k)).astype(np.float32))
+
+        def raw(xx, ww):
+            wf = jnp.flip(ww, axis=-1)
+            wf = jnp.transpose(wf, (2, 0, 1))
+            if groups == 1:
+                rhs = wf
+            else:
+                ipg = cin // groups
+                wf = wf.reshape(k, groups, ipg, cout // groups)
+                rhs = jnp.transpose(wf, (0, 2, 1, 3)).reshape(k, ipg, cout)
+            return jax.lax.conv_general_dilated(
+                xx, rhs, window_strides=(1,),
+                padding=[(k - 1 - pad, k - 1 - pad + op)],
+                lhs_dilation=(s,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=groups,
+            )
+
+        ours = conv_transpose1d(x, w, stride=s, padding=pad, output_padding=op, groups=groups)
+        ref = raw(x, w)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+        # gradients of the polyphase formulation vs the raw one
+        g = jnp.asarray(rng_np.standard_normal(ref.shape).astype(np.float32))
+        _, vjp_ours = jax.vjp(lambda a, b: conv_transpose1d(a, b, stride=s, padding=pad, output_padding=op, groups=groups), x, w)
+        _, vjp_ref = jax.vjp(raw, x, w)
+        for do, dr in zip(vjp_ours(g), vjp_ref(g)):
+            np.testing.assert_allclose(np.asarray(do), np.asarray(dr), atol=2e-4)
+
+    @pytest.mark.parametrize(
+        "cin,cout,k,s,pad,groups",
+        [
+            (16, 64, 41, 4, 20, 4),
+            (1, 16, 15, 4, 7, 1),
+            (32, 64, 4, 2, 1, 1),
+            (64, 128, 8, 4, 3, 1),
+            (128, 256, 16, 8, 7, 1),
+            (12, 12, 5, 3, (1, 2), 3),
+        ],
+    )
+    def test_strided_conv_custom_vjp_matches_autodiff(self, cin, cout, k, s, pad, groups, rng_np):
+        from vibravox_tpu.ops.conv import _conv1d_raw, conv1d
+
+        x = jnp.asarray(rng_np.standard_normal((2, 103, cin)).astype(np.float32))
+        w = jnp.asarray(rng_np.standard_normal((k, cin // groups, cout)).astype(np.float32))
+        padt = (pad, pad) if isinstance(pad, int) else pad
+
+        ours_fn = lambda a, b: conv1d(a, b, stride=s, padding=pad, groups=groups)
+        ref_fn = lambda a, b: _conv1d_raw(a, b, s, padt, 1, groups)
+
+        ours, ref = ours_fn(x, w), ref_fn(x, w)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+        g = jnp.asarray(rng_np.standard_normal(ref.shape).astype(np.float32))
+        _, vjp_ours = jax.vjp(ours_fn, x, w)
+        _, vjp_ref = jax.vjp(ref_fn, x, w)
+        for do, dr in zip(vjp_ours(g), vjp_ref(g)):
+            np.testing.assert_allclose(np.asarray(do), np.asarray(dr), atol=2e-4)

@@ -14,6 +14,7 @@ the conversion is a tiny host-free transpose that XLA folds into the op.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -26,6 +27,7 @@ __all__ = [
     "reflect_pad",
     "conv1d",
     "conv_transpose1d",
+    "polyphase_upsample_conv",
     "same_pad_amount",
     "torch_conv_weight_to_wio",
     "wio_to_torch_conv_weight",
@@ -74,6 +76,11 @@ def conv1d(
     Mirrors ``torch.nn.functional.conv1d`` numerics (cross-correlation), so a
     converted torch weight gives bit-equivalent-modulo-float results.
     ``pad_mode`` is one of ``zeros`` / ``reflect`` (torch ``padding_mode``).
+
+    Strided convs (stride > 1, dilation 1) carry a hand-written vjp: XLA
+    autodiff emits an lhs-dilated gradient conv for the input cotangent,
+    which this backend lowers pathologically (CLAUDE.md); the custom
+    backward re-expresses it as a dense polyphase conv.
     """
     kernel = weight.shape[0]
     pad = _norm_padding(padding, kernel, dilation)
@@ -84,16 +91,126 @@ def conv1d(
         # mixed-precision policy flows from the activations: f32 master
         # weights are cast to the compute dtype (bf16 on TPU) at use site
         weight = weight.astype(x.dtype)
+    if stride > 1 and dilation == 1:
+        return _conv1d_strided(x, weight, stride, pad, groups)
+    return _conv1d_raw(x, weight, stride, pad, dilation, groups, precision)
+
+
+def _conv1d_raw(x, weight, stride, pad, dilation, groups, precision=None):
     return lax.conv_general_dilated(
         x,
         weight,
         window_strides=(stride,),
-        padding=[pad],
+        padding=[tuple(pad)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
         precision=precision,
     )
+
+
+def polyphase_upsample_conv(
+    x: jnp.ndarray,
+    wf: jnp.ndarray,
+    stride: int,
+    lo: int,
+    out_len: int,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Correlation of an ``stride``-dilated input with ``wf``, as ONE dense conv.
+
+    Computes ``y[n] = Σ_j xd[n - lo + j] · wf[j]`` for ``n < out_len``, where
+    ``xd`` is ``x`` with ``stride - 1`` zeros inserted between samples —
+    i.e. exactly ``lax.conv_general_dilated(..., lhs_dilation=(stride,),
+    padding=[(lo, ·)])`` — but decomposed into its ``stride`` polyphase
+    sub-kernels stacked on the output-channel axis of a single stride-1
+    conv, followed by an interleaving reshape.  Dense MXU work instead of
+    the backend's pathological zero-stuffed lowering; used for transposed
+    convolutions and for the input gradient of strided convolutions.
+
+    ``wf``: (k, cin//groups, cout) WIO, already in correlation orientation
+    (i.e. flipped relative to a transposed-conv weight).
+    """
+    s = int(stride)
+    if s == 1:
+        k = wf.shape[0]
+        pr = out_len + k - 1 - max(lo, 0) - x.shape[1]
+        y = _conv1d_raw(x, wf, 1, (max(lo, 0), max(pr, 0)), 1, groups)
+        if lo < 0:
+            y = y[:, -lo:]
+        return y[:, :out_len]
+    k, cin_pg, cout = wf.shape
+    copg = cout // groups
+    l_in = x.shape[1]
+
+    # phase p of the output reads x at offset off_p with sub-kernel wf[j0::s]
+    sub_info = []
+    for p in range(s):
+        j0 = (lo - p) % s
+        off_p = (p + j0 - lo) // s
+        u_p = -(-(k - j0) // s)
+        sub_info.append((j0, off_p, u_p))
+    off_min = min(o for _, o, _ in sub_info)
+    u_max = max(o - off_min + u for _, o, u in sub_info)
+
+    # combined kernel: (U, cin_pg, groups, s, copg), group-major out channels
+    wg = wf.reshape(k, cin_pg, groups, copg)
+    wcat = jnp.zeros((u_max, cin_pg, groups, s, copg), wf.dtype)
+    for p, (j0, off_p, u_p) in enumerate(sub_info):
+        if u_p <= 0:
+            continue
+        shift = off_p - off_min
+        wcat = wcat.at[shift : shift + u_p, :, :, p, :].set(wg[j0::s])
+    rhs = wcat.reshape(u_max, cin_pg, groups * s * copg)
+
+    q = -(-out_len // s)  # output rows per phase
+    pl = -off_min
+    if pl < 0:  # positive start offset: consume it by slicing the input
+        x = x[:, -pl:]
+        l_in = x.shape[1]
+        pl = 0
+    pr = q - 1 + u_max - l_in - pl
+    y = _conv1d_raw(x, rhs, 1, (pl, max(pr, 0)), 1, groups)
+    y = y[:, :q].reshape(x.shape[0], q, groups, s, copg)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(x.shape[0], q * s, groups * copg)
+    return y[:, :out_len]
+
+
+def _conv1d_strided_impl(x, weight, stride, pad, groups):
+    return _conv1d_raw(x, weight, stride, pad, 1, groups)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv1d_strided(x, weight, stride, pad, groups):
+    return _conv1d_strided_impl(x, weight, stride, pad, groups)
+
+
+def _conv1d_strided_fwd(x, weight, stride, pad, groups):
+    return _conv1d_strided_impl(x, weight, stride, pad, groups), (x, weight)
+
+
+def _conv1d_strided_bwd(stride, pad, groups, res, g):
+    x, weight = res
+    k, cin_pg, cout = weight.shape
+    copg = cout // groups
+    # dx: correlation of the s-dilated cotangent with the io-swapped, flipped
+    # kernel — the lhs-dilated gradient conv XLA would emit, re-expressed as
+    # a dense polyphase conv
+    wg = jnp.flip(weight, axis=0).reshape(k, cin_pg, groups, copg)
+    wf_dx = jnp.transpose(wg, (0, 3, 2, 1)).reshape(k, copg, groups * cin_pg)
+    dx = polyphase_upsample_conv(
+        g, wf_dx, stride, k - 1 - pad[0], x.shape[1], groups
+    ).astype(x.dtype)
+    # dW through XLA autodiff: its kernel-gradient lowering (no lhs dilation)
+    # is unaffected by the pathology
+    _, w_vjp = jax.vjp(
+        lambda ww: _conv1d_strided_impl(x, ww, stride, pad, groups), weight
+    )
+    (dw,) = w_vjp(g)
+    return dx, dw
+
+
+_conv1d_strided.defvjp(_conv1d_strided_fwd, _conv1d_strided_bwd)
 
 
 def conv_transpose1d(
@@ -136,17 +253,10 @@ def conv_transpose1d(
             kernel, in_per_group, groups * out_ch_per_group
         )
     lo = kernel - 1 - padding
-    hi = kernel - 1 - padding + output_padding
-    return lax.conv_general_dilated(
-        x,
-        rhs,
-        window_strides=(1,),
-        padding=[(lo, hi)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-        precision=precision,
-    )
+    out_len = (x.shape[1] - 1) * stride - 2 * padding + kernel + output_padding
+    # dense polyphase decomposition instead of lhs_dilation=(stride,): the
+    # zero-stuffed lowering is pathologically slow on this backend
+    return polyphase_upsample_conv(x, rhs, stride, lo, out_len, groups)
 
 
 def torch_conv_weight_to_wio(w: jnp.ndarray) -> jnp.ndarray:

@@ -252,6 +252,9 @@ class MultiResolutionSTFTLoss:
         if use_pallas is None:
             import os
 
+            # opt-in (measured round 2: the XLA path's framing + custom-vjp
+            # FIR gradient already runs at ~6.7 ms/step for the full 3-res
+            # loss; the Pallas fwd+bwd kernels are kept as an alternative)
             use_pallas = os.environ.get("VIBRAVOX_PALLAS", "0") == "1"
         self.use_pallas = bool(use_pallas)
         # reductions/magnitudes always accumulate in f32; with

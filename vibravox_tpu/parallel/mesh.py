@@ -53,25 +53,53 @@ def build_mesh(config: Optional[MeshConfig] = None, devices: Optional[Sequence[j
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host batch with the leading axis sharded over 'data'.
 
-    Batches whose leading axis does not divide the data axis (e.g. the
-    reference's batch-size-1 eval loaders — ``bwe.py:177,209``) fall back to
-    replication: correct everywhere, redundant compute on eval only.
+    Single-process: a plain sharded device_put.  Multi-process (the mesh
+    spans hosts): each process passes its *local* shard — the per-host slice
+    its loader produced (``data/loader.py``) — and the global array is
+    assembled with ``jax.make_array_from_process_local_data``.
+
+    Batches whose leading axis does not divide the (local) data axis (e.g.
+    the reference's batch-size-1 eval loaders — ``bwe.py:177,209``) fall
+    back to replication: correct everywhere, redundant compute on eval only.
     """
     data_size = mesh.shape["data"]
+    multiproc = jax.process_count() > 1
+    # leading-axis device count this process feeds
+    local_data = data_size // jax.process_count() if multiproc else data_size
 
     def put(x):
-        if np.ndim(x) >= 1 and np.shape(x)[0] % data_size == 0:
+        if np.ndim(x) >= 1 and local_data > 0 and np.shape(x)[0] % local_data == 0:
             spec = P("data", *([None] * (np.ndim(x) - 1)))
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Replicate a pytree (params / train state) across the whole mesh."""
+    """Replicate a pytree (params / train state) across the whole mesh.
+
+    Multi-process: every process must hold identical host values (true for
+    seeded init and loaded checkpoints); assembly goes through
+    ``jax.make_array_from_process_local_data``.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+
+        def put(x):
+            # typed PRNG keys can't cross np.asarray; round-trip the raw bits
+            if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+                data = jax.make_array_from_process_local_data(
+                    sharding, np.asarray(jax.random.key_data(x))
+                )
+                return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -27,6 +27,8 @@ def main(argv=None) -> None:
                         help="one hub repo / weight path per sensor")
     parser.add_argument("--out", required=True)
     parser.add_argument("--sample-rate", type=int, default=16000)
+    parser.add_argument("--limit", type=int, default=None,
+                        help="enhance only the first N utterances (smoke runs)")
     args = parser.parse_args(argv)
     assert len(args.sensors) == len(args.weights)
 
@@ -45,14 +47,18 @@ def main(argv=None) -> None:
         )
         out_dir = out_root / sensor
         out_dir.mkdir(parents=True, exist_ok=True)
+        count = 0
         for i, row in enumerate(source):
+            if args.limit is not None and i >= args.limit:
+                break
             audio = jnp.asarray(
                 np.asarray(row["audio_body_conducted"], np.float32)
             )[None, :, None]
             audio = model.cut_to_valid_length(audio)
             enhanced = np.asarray(enhance(params, audio))[0, :, 0]
             np.savez(out_dir / f"{i:06d}.npz", audio_enhanced=enhanced)
-        print(f"{sensor}: enhanced {len(source)} utterances -> {out_dir}")
+            count += 1
+        print(f"{sensor}: enhanced {count} utterances -> {out_dir}")
 
 
 if __name__ == "__main__":

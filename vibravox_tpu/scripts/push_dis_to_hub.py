@@ -25,7 +25,9 @@ def main(argv=None) -> None:
     # export as orbax (native) — the reference's torch-layout export for the
     # discriminator follows the generator converter's structure
     os.makedirs(args.out, exist_ok=True)
-    ocp.StandardCheckpointer().save(os.path.abspath(os.path.join(args.out, "discriminator")), disc_params)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(os.path.join(args.out, "discriminator")), disc_params)
+    ckptr.wait_until_finished()  # orbax saves are async; commit before exit
     print(f"exported discriminator params to {args.out}/discriminator")
     if args.repo_id:
         from huggingface_hub import HfApi
