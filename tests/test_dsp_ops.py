@@ -325,9 +325,10 @@ class TestPolyphaseConv:
             (4, 8, 7, 1, 3, 0, 1),
         ],
     )
-    def test_conv_transpose_matches_lhs_dilated(self, cin, cout, k, s, pad, op, groups, rng_np):
+    def test_conv_transpose_matches_lhs_dilated(self, cin, cout, k, s, pad, op, groups, rng_np, monkeypatch):
         from vibravox_tpu.ops.conv import conv_transpose1d
 
+        monkeypatch.setenv("VIBRAVOX_CONV_CUSTOM", "1")
         x = jnp.asarray(rng_np.standard_normal((2, 37, cin)).astype(np.float32))
         w = jnp.asarray(rng_np.standard_normal((cin, cout // groups, k)).astype(np.float32))
 
@@ -371,9 +372,10 @@ class TestPolyphaseConv:
             (12, 12, 5, 3, (1, 2), 3),
         ],
     )
-    def test_strided_conv_custom_vjp_matches_autodiff(self, cin, cout, k, s, pad, groups, rng_np):
+    def test_strided_conv_custom_vjp_matches_autodiff(self, cin, cout, k, s, pad, groups, rng_np, monkeypatch):
         from vibravox_tpu.ops.conv import _conv1d_raw, conv1d
 
+        monkeypatch.setenv("VIBRAVOX_CONV_CUSTOM", "1")
         x = jnp.asarray(rng_np.standard_normal((2, 103, cin)).astype(np.float32))
         w = jnp.asarray(rng_np.standard_normal((k, cin // groups, cout)).astype(np.float32))
         padt = (pad, pad) if isinstance(pad, int) else pad
@@ -388,4 +390,61 @@ class TestPolyphaseConv:
         _, vjp_ours = jax.vjp(ours_fn, x, w)
         _, vjp_ref = jax.vjp(ref_fn, x, w)
         for do, dr in zip(vjp_ours(g), vjp_ref(g)):
+            np.testing.assert_allclose(np.asarray(do), np.asarray(dr), atol=2e-4)
+
+
+class TestResamplerOracle:
+    """Functional oracle for the Kaiser resampler: analytic ground-truth
+    signals through the rate pairs the framework actually uses (48k->16k
+    dataset decode, 24k->16k metrics path, 16k->8k MelGAN scale).  torchaudio
+    is not installed here; the analytic signal IS the reference."""
+
+    @pytest.mark.parametrize("window", ["kaiser", "hann"])
+    @pytest.mark.parametrize("src,dst", [(48000, 16000), (24000, 16000), (16000, 8000)])
+    def test_chirp_ground_truth(self, src, dst, window):
+        dur = 1.0
+        f0, f1 = 100.0, min(src, dst) * 0.2  # deep passband
+        t_in = np.arange(int(src * dur)) / src
+        k = (f1 - f0) / dur
+        chirp = lambda t: np.sin(2 * np.pi * (f0 * t + 0.5 * k * t * t))
+        y = resample(jnp.asarray(chirp(t_in).astype(np.float32))[None], src, dst,
+                     window=window)
+        t_out = np.arange(y.shape[-1]) / dst
+        ref = chirp(t_out)
+        err = np.abs(np.asarray(y[0])[200:-200] - ref[200:-200]).max()
+        assert err < 8e-3, err
+
+    def test_energy_preserved_in_passband(self, rng_np):
+        from scipy import signal as sps
+
+        b, a = sps.butter(6, 3000 / 24000, btype="low")
+        x = sps.lfilter(b, a, rng_np.standard_normal(48000)).astype(np.float32)
+        y = np.asarray(resample(jnp.asarray(x)[None], 48000, 16000))[0]
+        # energy ratio accounts for the 3x sample-count reduction
+        ratio = (np.sum(y**2) * 3) / np.sum(x**2)
+        assert 0.97 < ratio < 1.03, ratio
+
+
+class TestTinyFanInConvVJP:
+    """Stride-1 tiny-cin convs also route through the custom vjp (the disc's
+    first conv, 1->16 k15); grads must match raw autodiff."""
+
+    @pytest.mark.parametrize("cin,cout,k,s,pad,groups", [
+        (1, 16, 15, 1, 7, 1),
+        (4, 4, 3, 1, 1, 1),
+        (8, 24, 5, 1, 2, 1),
+    ])
+    def test_matches_autodiff(self, cin, cout, k, s, pad, groups, rng_np, monkeypatch):
+        from vibravox_tpu.ops.conv import _conv1d_raw, conv1d
+
+        monkeypatch.setenv("VIBRAVOX_CONV_CUSTOM", "1")
+        x = jnp.asarray(rng_np.standard_normal((2, 211, cin)).astype(np.float32))
+        w = jnp.asarray(rng_np.standard_normal((k, cin // groups, cout)).astype(np.float32))
+        ours_fn = lambda a, b: conv1d(a, b, stride=s, padding=pad, groups=groups)
+        ref_fn = lambda a, b: _conv1d_raw(a, b, s, (pad, pad), 1, groups)
+        np.testing.assert_allclose(
+            np.asarray(ours_fn(x, w)), np.asarray(ref_fn(x, w)), atol=1e-5
+        )
+        g = jnp.asarray(rng_np.standard_normal(ref_fn(x, w).shape).astype(np.float32))
+        for do, dr in zip(jax.vjp(ours_fn, x, w)[1](g), jax.vjp(ref_fn, x, w)[1](g)):
             np.testing.assert_allclose(np.asarray(do), np.asarray(dr), atol=2e-4)

@@ -182,7 +182,10 @@ class TestFusedGeneratorStepEquivalence:
         flat_naive = jax.tree_util.tree_leaves(naive_grads)
         flat_fused = jax.tree_util.tree_leaves(fused_grads)
         for a, b in zip(flat_naive, flat_fused):
-            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-6)
+            # f32 associativity noise between the two formulations scales
+            # with the leaf's gradient magnitude
+            tol = max(1e-6, 2e-4 * float(np.max(np.abs(np.asarray(a)))))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=tol)
         np.testing.assert_allclose(
             np.asarray(new_state.atomic_norms_ema), np.asarray(norms), rtol=1e-5
         )

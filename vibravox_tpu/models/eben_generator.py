@@ -21,7 +21,9 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vibravox_tpu.models.layers import TorchConv1d, WNConv1d, WNConvTranspose1d
+from vibravox_tpu.models.layers import TorchConv1d, WNConv1d, WNConvTranspose1d, WNKernel
+from vibravox_tpu.ops.conv import conv1d
+from vibravox_tpu.ops.fused_residual import residual_stack
 from vibravox_tpu.ops.pqmf import PQMF
 
 __all__ = ["EBENGenerator", "EncBlock", "DecBlock", "ResidualUnit"]
@@ -34,22 +36,38 @@ def _nl(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class ResidualUnit(nn.Module):
-    """Dilated conv + pointwise conv with residual add (ref ``eben_generator.py:287-316``)."""
+    """Dilated conv + pointwise conv with residual add (ref ``eben_generator.py:287-316``).
+
+    Param tree matches the WNConv1d-based original exactly; ``kernels_only``
+    returns the effective (weight-normalized) kernels so the enclosing block
+    can run the whole 3-unit stack through the fused Pallas kernel
+    (``ops/fused_residual.py``) instead of six separate convs."""
 
     channels: int
     dilation: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = WNConv1d(
-            self.channels, 3, padding="same", dilation=self.dilation,
-            use_bias=False, pad_mode="reflect", name="dilated_conv",
-        )(x)
-        h = WNConv1d(
-            self.channels, 1, padding="same", use_bias=False,
-            pad_mode="reflect", name="pointwise_conv",
-        )(h)
+    def __call__(self, x: jnp.ndarray, kernels_only: bool = False):
+        kd = WNKernel(self.channels, 3, x.shape[-1], name="dilated_conv")()
+        kp = WNKernel(self.channels, 1, self.channels, name="pointwise_conv")()
+        if kernels_only:
+            return kd, kp
+        h = conv1d(x, kd, padding="same", dilation=self.dilation, pad_mode="reflect")
+        h = conv1d(h, kp, padding="same", pad_mode="reflect")
         return x + _nl(h)
+
+
+def _residual_stack(x: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """3 dilated ResidualUnits (1, 3, 9), fused when the backend supports it.
+
+    Must be called from within a block's compact ``__call__`` — the
+    ResidualUnit submodules attach to the calling scope, keeping the param
+    tree identical to the per-unit formulation."""
+    kernels = tuple(
+        ResidualUnit(channels, d, name=f"residual_{i}")(x, kernels_only=True)
+        for i, d in enumerate((1, 3, 9))
+    )
+    return residual_stack(x, kernels, (1, 3, 9), _LEAKY_SLOPE)
 
 
 class EncBlock(nn.Module):
@@ -60,8 +78,7 @@ class EncBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for i, dilation in enumerate((1, 3, 9)):
-            x = ResidualUnit(self.out_channels // 2, dilation, name=f"residual_{i}")(x)
+        x = _residual_stack(x, self.out_channels // 2)
         return WNConv1d(
             self.out_channels,
             2 * self.stride,
@@ -92,9 +109,7 @@ class DecBlock(nn.Module):
             name="conv_trans",
         )(x)
         x = _nl(x)
-        for i, dilation in enumerate((1, 3, 9)):
-            x = ResidualUnit(self.out_channels, dilation, name=f"residual_{i}")(x)
-        return x
+        return _residual_stack(x, self.out_channels)
 
 
 class EBENGenerator(nn.Module):

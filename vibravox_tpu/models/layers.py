@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from vibravox_tpu.ops.conv import conv1d, conv_transpose1d
 
-__all__ = ["WNConv1d", "WNConvTranspose1d", "TorchConv1d", "leaky_relu"]
+__all__ = ["WNConv1d", "WNConvTranspose1d", "WNKernel", "TorchConv1d", "leaky_relu"]
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:
@@ -122,6 +122,35 @@ class WNConv1d(nn.Module):
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)
         return y
+
+
+class WNKernel(nn.Module):
+    """Creates WNConv1d's ``(kernel_v, kernel_g)`` params — same names, same
+    init, same normalization — and returns the *effective* kernel without
+    running the conv.  Lets fused kernels (``ops/fused_residual.py``) consume
+    the weights while the param tree stays checkpoint-identical to WNConv1d.
+    Ungrouped, biasless (the ResidualUnit configuration)."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        fan_in = self.in_features * self.kernel_size
+        v = self.param(
+            "kernel_v",
+            _torch_conv_init(fan_in),
+            (self.kernel_size, self.in_features, self.features),
+        )
+
+        def g_init(key, shape, dtype=jnp.float32):
+            return jnp.sqrt(jnp.sum(jax.lax.stop_gradient(v) ** 2, axis=(0, 1)))
+
+        g = self.param("kernel_g", g_init, (self.features,))
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
+        return v * (g[None, None, :] / (norm + self.eps))
 
 
 class WNConvTranspose1d(nn.Module):

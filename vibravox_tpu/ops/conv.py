@@ -91,9 +91,22 @@ def conv1d(
         # mixed-precision policy flows from the activations: f32 master
         # weights are cast to the compute dtype (bf16 on TPU) at use site
         weight = weight.astype(x.dtype)
-    if stride > 1 and dilation == 1:
+    # custom vjp for the backend-pathological gradient classes: strided
+    # convs (lhs-dilated dx lowering) and tiny-fan-in convs (the dW
+    # multiply-reduce lowering runs on the VPU at ~2 ms for the EBEN
+    # discriminator's first convs — profiled round 2).  Opt-in: measured
+    # composition-NEUTRAL per op but net-negative inside the fused GAN step
+    # on this backend (ablate_step r2b/r2c), so the native lowering is the
+    # default; flip with VIBRAVOX_CONV_CUSTOM=1 when a backend needs it.
+    if _custom_vjp_enabled() and dilation == 1 and (stride > 1 or weight.shape[1] <= 8):
         return _conv1d_strided(x, weight, stride, pad, groups)
     return _conv1d_raw(x, weight, stride, pad, dilation, groups, precision)
+
+
+def _custom_vjp_enabled() -> bool:
+    import os
+
+    return os.environ.get("VIBRAVOX_CONV_CUSTOM", "0") == "1"
 
 
 def _conv1d_raw(x, weight, stride, pad, dilation, groups, precision=None):
@@ -189,6 +202,33 @@ def _conv1d_strided_fwd(x, weight, stride, pad, groups):
     return _conv1d_strided_impl(x, weight, stride, pad, groups), (x, weight)
 
 
+def _dw_slice_matmuls(x, g, k, stride, pad_left, groups, wdtype):
+    """Kernel gradient as k strided-slice MXU contractions.
+
+    dW[k', i, o] = Σ_{b,q} xpad[b, s·q + k', i] · g[b, q, o] — one
+    (B·Q, cin/g) ⊗ (B·Q, cout/g) contraction per tap per group, instead of
+    XLA's VPU multiply-reduce (which this backend lowers pathologically for
+    tiny cin/g)."""
+    b, t, cin = x.shape
+    q, cout = g.shape[1], g.shape[2]
+    cipg = cin // groups
+    copg = cout // groups
+    need = (q - 1) * stride + k
+    xp = jnp.pad(x, [(0, 0), (pad_left, max(0, need - t - pad_left)), (0, 0)])
+    gg = g.reshape(b, q, groups, copg)
+    cols = []
+    for kk in range(k):
+        xs = jax.lax.slice(
+            xp, (0, kk, 0), (b, kk + (q - 1) * stride + 1, cin), (1, stride, 1)
+        ).reshape(b, q, groups, cipg)
+        cols.append(
+            jnp.einsum("bqgi,bqgo->gio", xs, gg,
+                       preferred_element_type=jnp.float32)
+        )
+    dw = jnp.stack(cols)  # (k, groups, cipg, copg)
+    return jnp.transpose(dw, (0, 2, 1, 3)).reshape(k, cipg, cout).astype(wdtype)
+
+
 def _conv1d_strided_bwd(stride, pad, groups, res, g):
     x, weight = res
     k, cin_pg, cout = weight.shape
@@ -201,12 +241,15 @@ def _conv1d_strided_bwd(stride, pad, groups, res, g):
     dx = polyphase_upsample_conv(
         g, wf_dx, stride, k - 1 - pad[0], x.shape[1], groups
     ).astype(x.dtype)
-    # dW through XLA autodiff: its kernel-gradient lowering (no lhs dilation)
-    # is unaffected by the pathology
-    _, w_vjp = jax.vjp(
-        lambda ww: _conv1d_strided_impl(x, ww, stride, pad, groups), weight
-    )
-    (dw,) = w_vjp(g)
+    if cin_pg <= 8:
+        dw = _dw_slice_matmuls(x, g, k, stride, pad[0], groups, weight.dtype)
+    else:
+        # dW through XLA autodiff: with enough input channels its
+        # kernel-gradient lowering runs on the MXU and is fine
+        _, w_vjp = jax.vjp(
+            lambda ww: _conv1d_strided_impl(x, ww, stride, pad, groups), weight
+        )
+        (dw,) = w_vjp(g)
     return dx, dw
 
 
@@ -254,9 +297,21 @@ def conv_transpose1d(
         )
     lo = kernel - 1 - padding
     out_len = (x.shape[1] - 1) * stride - 2 * padding + kernel + output_padding
-    # dense polyphase decomposition instead of lhs_dilation=(stride,): the
-    # zero-stuffed lowering is pathologically slow on this backend
-    return polyphase_upsample_conv(x, rhs, stride, lo, out_len, groups)
+    if _custom_vjp_enabled():
+        # dense polyphase decomposition instead of lhs_dilation=(stride,) —
+        # opt-in alongside the conv custom vjp (see conv1d)
+        return polyphase_upsample_conv(x, rhs, stride, lo, out_len, groups)
+    hi = lo + output_padding
+    return lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        precision=precision,
+    )
 
 
 def torch_conv_weight_to_wio(w: jnp.ndarray) -> jnp.ndarray:

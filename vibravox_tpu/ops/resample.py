@@ -38,6 +38,7 @@ def _design_kernel(
     lowpass_filter_width: int,
     rolloff: float,
     beta: float,
+    window: str = "kaiser",
 ) -> Tuple[np.ndarray, int]:
     """Design the polyphase kernel bank.
 
@@ -50,10 +51,13 @@ def _design_kernel(
     idx = np.arange(-width, width + orig_freq, dtype=np.float64) / orig_freq
     t = np.arange(0, -new_freq, -1, dtype=np.float64)[:, None] / new_freq + idx[None, :]
     t = np.clip(t * base_freq, -lowpass_filter_width, lowpass_filter_width)
-    window = i0(beta * np.sqrt(1 - (t / lowpass_filter_width) ** 2)) / i0(beta)
+    if window == "kaiser":
+        win = i0(beta * np.sqrt(1 - (t / lowpass_filter_width) ** 2)) / i0(beta)
+    else:  # "hann" — torchaudio's default sinc_interp_hann window
+        win = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
     t = t * np.pi
     scale = base_freq / orig_freq
-    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t)) * window * scale
+    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t)) * win * scale
     # kernels: (new_freq, kernel_width); conv weight WIO with new_freq outputs.
     wio = kernels.T[:, None, :].astype(np.float32)  # (width_total, 1, new_freq)
     return wio, width
@@ -69,6 +73,7 @@ class KaiserResampler:
         lowpass_filter_width: int = _LOWPASS_FILTER_WIDTH,
         rolloff: float = _ROLLOFF,
         beta: float = _KAISER_BETA,
+        window: str = "kaiser",
     ):
         gcd = math.gcd(int(orig_freq), int(new_freq))
         self.orig_freq = int(orig_freq) // gcd
@@ -76,7 +81,8 @@ class KaiserResampler:
         self.identity = self.orig_freq == self.new_freq
         if not self.identity:
             kernel, width = _design_kernel(
-                self.orig_freq, self.new_freq, lowpass_filter_width, rolloff, beta
+                self.orig_freq, self.new_freq, lowpass_filter_width, rolloff, beta,
+                window,
             )
             self.kernel = jnp.asarray(kernel)
             self.width = width
@@ -112,10 +118,15 @@ class KaiserResampler:
 
 
 @functools.lru_cache(maxsize=None)
-def _cached_resampler(orig_freq: int, new_freq: int) -> KaiserResampler:
-    return KaiserResampler(orig_freq, new_freq)
+def _cached_resampler(orig_freq: int, new_freq: int, window: str = "kaiser") -> KaiserResampler:
+    return KaiserResampler(orig_freq, new_freq, window=window)
 
 
-def resample(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
-    """One-shot functional resample with a cached kernel."""
-    return _cached_resampler(int(orig_freq), int(new_freq))(x)
+def resample(x: jnp.ndarray, orig_freq: int, new_freq: int, window: str = "kaiser") -> jnp.ndarray:
+    """One-shot functional resample with a cached kernel.
+
+    ``window="hann"`` matches torchaudio's *default* ``sinc_interp_hann``
+    Resample (the reference's metric 16 kHz path — ``base_se.py:54`` passes
+    no method); ``"kaiser"`` matches ``sinc_interp_kaiser`` (the MelGAN
+    multi-scale downsamplers — ``melgan_discriminator.py:38-43``)."""
+    return _cached_resampler(int(orig_freq), int(new_freq), window)(x)

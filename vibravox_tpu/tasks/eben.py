@@ -98,7 +98,10 @@ class EBENTask:
                 opt = opt()
             if self.accumulate_grad_batches > 1:
                 opt = optax.MultiSteps(opt, every_k_schedule=self.accumulate_grad_batches)
-            setattr(self, attr, opt)
+            # flatten: run the update on ONE concatenated vector instead of
+            # ~200 per-layer leaves — the per-leaf op soup cost ~13 ms/step
+            # of pure dispatch/fusion overhead on this backend (profiled)
+            setattr(self, attr, optax.flatten(opt))
         from vibravox_tpu.tasks.se_metrics import SEMetrics
 
         self._se_metrics = SEMetrics(self.sample_rate)
@@ -357,10 +360,25 @@ class EBENTask:
                 return self.generator.apply(gp, features, first_bands, method="tail")
 
             _, tail_vjp = jax.vjp(tail_fn, last_kernel)
-            norms = jnp.stack([
-                jnp.sqrt(jnp.sum(jnp.square(tail_vjp(ct)[0].astype(jnp.float32))))
-                for ct in cotangents
-            ])
+            import os as _os
+
+            if _os.environ.get("VIBRAVOX_VMAP_TAIL", "1") == "1":
+                # one BATCHED tail transpose instead of 4 sequential ones:
+                # vjp application is linear, so vmapping over the stacked
+                # cotangents runs a single 4-wide backward program
+                cts_stacked = jax.tree_util.tree_map(
+                    lambda *leaves: jnp.stack(leaves), *cotangents
+                )
+                norms = jax.vmap(
+                    lambda ct: jnp.sqrt(
+                        jnp.sum(jnp.square(tail_vjp(ct)[0].astype(jnp.float32)))
+                    )
+                )(cts_stacked)
+            else:
+                norms = jnp.stack([
+                    jnp.sqrt(jnp.sum(jnp.square(tail_vjp(ct)[0].astype(jnp.float32))))
+                    for ct in cotangents
+                ])
             if self.dynamic_loss_balancing == "ema":
                 norms_ema = jnp.where(
                     state.step == 0,

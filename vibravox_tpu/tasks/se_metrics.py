@@ -40,7 +40,7 @@ class SEMetrics:
         self.noresqa_mos = NoresqaMOS(predictor=subjective) if subjective else None
 
     def _to_16k(self, audio: jnp.ndarray) -> jnp.ndarray:
-        return resample(audio, self.sample_rate, 16000)
+        return resample(audio, self.sample_rate, 16000, window="hann")
 
     def __call__(self, outputs: Dict[str, jnp.ndarray]) -> Dict[str, float]:
         """outputs: dict with 'enhanced' (B, T, 1) and optionally 'reference'."""

@@ -49,6 +49,8 @@ class Wav2Vec2STPTask:
             self.optimizer = optax.MultiSteps(
                 self.optimizer, every_k_schedule=self.accumulate_grad_batches
             )
+        # single-flat-vector update (see eben.py: per-leaf op soup overhead)
+        self.optimizer = optax.flatten(self.optimizer)
         self.blank_id = int(self.wav2vec2_for_ctc.config.pad_token_id)
 
     # ------------------------------------------------------------------ #
