@@ -16,6 +16,7 @@ null until that measurement exists.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -37,7 +38,12 @@ def main() -> None:
     from vibravox_tpu.tasks.eben import EBENTask
 
     sample_rate = 16000
-    batch_size = 32
+    # throughput configuration: the step is partly op-count/overhead-bound on
+    # this backend, so larger batches amortize it — measured r2: batch 32 →
+    # 621 audio-s/s/chip, 64 → 793, 128 → 1471, 256 → 1386 (HBM pressure).
+    # The reference's training recipe stays batch 32; this benchmarks the
+    # hardware ceiling of the identical step function.
+    batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", "128"))
     seconds = 2.5
 
     task = EBENTask(

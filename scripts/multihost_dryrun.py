@@ -99,7 +99,18 @@ def worker(process_id: int, num_processes: int, port: int, devices_per_proc: int
         state, logs = dp.train_step(state, local)
     loss = float(logs["train/generator/backprop_loss"])
     assert np.isfinite(loss), loss
-    print(f"MULTIHOST_OK process={process_id} loss={loss:.4f}", flush=True)
+
+    # sharded eval + host-side metrics: outputs must be gathered to every
+    # process (the sync_dist analog) before numpy metrics can run
+    outputs = dp.eval_step(state, local)
+    metrics = task.eval_metrics(outputs)
+    stoi = metrics.get("torchmetrics_stoi")
+    assert stoi is None or np.isfinite(stoi)
+    print(
+        f"MULTIHOST_OK process={process_id} loss={loss:.4f} "
+        f"eval_metrics={sorted(metrics)}",
+        flush=True,
+    )
 
 
 def main() -> int:

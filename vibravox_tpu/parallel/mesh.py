@@ -149,6 +149,18 @@ class DataParallel:
     def eval_step(self, state, batch):
         arrays, host = self.split_batch(batch)
         outputs = self._eval_step(state, shard_batch(self.mesh, arrays))
+        if jax.process_count() > 1:
+            # metrics run host-side (STOI/EER/... on numpy): gather the
+            # sharded eval outputs so every host sees the full batch — the
+            # analog of the reference's sync_dist=True metric reduction
+            from jax.experimental import multihost_utils
+
+            outputs = jax.tree_util.tree_map(
+                lambda x: multihost_utils.process_allgather(x, tiled=True)
+                if hasattr(x, "sharding") and not x.is_fully_addressable
+                else x,
+                outputs,
+            )
         if host and isinstance(outputs, dict):
             outputs = dict(outputs)
             outputs["host"] = host
