@@ -98,6 +98,33 @@ class Trainer:
             self._dp = DataParallel(task, build_mesh(self.mesh_config))
         return self._dp
 
+    def _log_model_summary(self) -> None:
+        """Param-count summary per top-level state field (the reference's
+        ``RichModelSummary`` callback analog — ``configs/callbacks/
+        rich_model_summary.yaml``)."""
+        import dataclasses
+
+        if self.state is None or not dataclasses.is_dataclass(self.state):
+            return
+        import numpy as np
+
+        lines, total = [], 0
+        for field in dataclasses.fields(self.state):
+            name = field.name
+            if "param" not in name:
+                continue
+            sub = getattr(self.state, name, None)
+            if sub is None:
+                continue
+            n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(sub)
+                    if hasattr(l, "shape"))
+            total += n
+            lines.append(f"{name}: {n:,} params")
+        if lines:
+            summary = " | ".join(lines) + f" | total: {total:,}"
+            print(f"[model summary] {summary}", flush=True)
+            self.logger.log_text("model_summary", summary)
+
     def fit(self, task, datamodule) -> None:
         datamodule.setup("fit")
         dp = self._ensure_dp(task)
@@ -122,6 +149,7 @@ class Trainer:
 
         if getattr(task, "description", None):
             self.logger.log_text("description", task.description)
+        self._log_model_summary()
 
         timer = StepTimer()
         profiler_trace = None
