@@ -29,7 +29,9 @@ backward — grid (batch, row-blocks, bins); per block, given the upstream
 ``framed_dft_magnitude`` wires both into a ``jax.custom_vjp``; reflect-pad
 and framing pre/post-processing (and their hand-written transposes) are
 plain slices/pads at the XLA level.  Used by ``MultiResolutionSTFTLoss``
-(default ON when the backend is a TPU; force with ``VIBRAVOX_PALLAS=0/1``);
+when ``VIBRAVOX_PALLAS=1`` (opt-in: measured ~15-20% behind the XLA path
+at the training shapes on the round-2 backend — the XLA framing+rDFT with
+the custom-vjp FIR is already ~6.7 ms for the full 3-resolution gradient);
 correctness is pinned to the XLA path by tests (forward and gradient).
 """
 
