@@ -55,6 +55,9 @@ def main() -> None:
         reconstructive_loss_freq_fn=MultiResolutionSTFTLoss(
             (512, 1024, 2048), (50, 120, 240), (240, 600, 1200),
             sample_rate=sample_rate, perceptual_weighting=True,
+            # probe knob: run the DFT matmuls in the compute dtype (bf16)
+            # instead of upcasting to f32 (~1e-2 relative loss noise)
+            upcast_to_f32=os.environ.get("VIBRAVOX_BENCH_MSTFT_BF16", "0") != "1",
         ),
         feature_matching_loss_fn=FeatureMatchingLoss(),
         adversarial_loss_fn=HingeLoss(),

@@ -189,3 +189,42 @@ class TestTrainerResume:
         assert t2.current_epoch == 1  # resumed past epoch 0
         assert t2.global_step == 2
         assert int(np.asarray(t2.state.step)) == step_after_first + 1
+
+
+class TestModelAxisMesh:
+    """The 2-D mesh's model axis is the declared TP extension point
+    (SURVEY §2.5): a (data=4, model=2) mesh must run a full sharded train
+    step with replicated state — the partitioner handles the unused axis."""
+
+    def test_2d_mesh_train_step(self, rng_np):
+        import optax
+
+        from vibravox_tpu.losses.gan import HingeLoss
+        from vibravox_tpu.models.eben_discriminator import DiscriminatorEBENMultiScales
+        from vibravox_tpu.models.eben_generator import EBENGenerator
+        from vibravox_tpu.parallel.mesh import DataParallel, MeshConfig, build_mesh
+        from vibravox_tpu.tasks.eben import EBENTask
+
+        mesh = build_mesh(MeshConfig(data=4, model=2))
+        assert mesh.shape == {"data": 4, "model": 2}
+        task = EBENTask(
+            sample_rate=16000,
+            generator=EBENGenerator(m=4, n=32, p=2),
+            discriminator=DiscriminatorEBENMultiScales(q=1, min_channels=8),
+            generator_optimizer=optax.adam(3e-4),
+            discriminator_optimizer=optax.adam(3e-4),
+            adversarial_loss_fn=HingeLoss(),
+        )
+        t = 4064
+        batch = {
+            "audio_body_conducted": jnp.asarray(
+                rng_np.standard_normal((4, t, 1)).astype(np.float32) * 0.1
+            ),
+            "audio_airborne": jnp.asarray(
+                rng_np.standard_normal((4, t, 1)).astype(np.float32) * 0.1
+            ),
+        }
+        dp = DataParallel(task, mesh)
+        state = dp.init_state(jax.random.key(0), batch)
+        state, logs = dp.train_step(state, batch)
+        assert np.isfinite(float(logs["train/discriminator/backprop_loss"]))

@@ -38,7 +38,10 @@ def make_task(**kwargs):
 
 
 @pytest.fixture(scope="module")
-def batch(rng_np):
+def batch():
+    # dedicated rng: the session rng's state depends on test ordering, and
+    # the fused-vs-naive equivalence tolerances are calibrated to fixed data
+    rng_np = np.random.default_rng(7)
     t = 4064  # valid length for multiple=256, n=32 (long enough for the dilation-3 disc)
     ref = rng_np.standard_normal((2, t, 1)).astype(np.float32) * 0.1
     return {
