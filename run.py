@@ -68,10 +68,15 @@ def main(argv=None) -> dict:
 
         callbacks = cfg.get("callbacks") or {}
         checkpoint = instantiate(callbacks["checkpoint"]) if "checkpoint" in callbacks else None
+        model_summary = (
+            instantiate(callbacks["model_summary"]) if "model_summary" in callbacks else None
+        )
         logging_cfg = cfg.get("logging") or {}
         logger = instantiate(logging_cfg["logger"]) if "logger" in logging_cfg else None
 
-        trainer = instantiate(cfg.trainer, checkpoint=checkpoint, logger=logger)
+        trainer = instantiate(
+            cfg.trainer, checkpoint=checkpoint, logger=logger, model_summary=model_summary
+        )
 
         trainer.fit(task, datamodule)
         metrics = trainer.test(task, datamodule, ckpt_path="last")

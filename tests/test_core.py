@@ -55,6 +55,34 @@ class TestConfigCompose:
         cfg = compose(CONFIG_DIR, "run", ["lightning_datamodule=bwe", "lightning_module=eben"])
         assert isinstance(cfg.lightning_module.generator_optimizer.lr, float)
 
+    def test_nested_group_override_switches_optimizer(self):
+        cfg = compose(CONFIG_DIR, "run", [
+            "lightning_datamodule=bwe", "lightning_module=eben",
+            "lightning_module/optimizer@lightning_module.generator_optimizer=sgd",
+        ])
+        assert cfg.lightning_module.generator_optimizer._target_.endswith("optim.sgd")
+        # the sibling default keeps its own choice
+        assert cfg.lightning_module.discriminator_optimizer._target_.endswith("optim.adam")
+        opt = instantiate(cfg.lightning_module.generator_optimizer)()
+        assert hasattr(opt, "init") and hasattr(opt, "update")
+
+    def test_unmatched_group_override_raises(self):
+        with pytest.raises(ValueError, match="matched no defaults entry"):
+            compose(CONFIG_DIR, "run", [
+                "lightning_datamodule=bwe", "lightning_module=eben",
+                "lightning_module/optimizer@lightning_module.not_an_optimizer=sgd",
+            ])
+
+    def test_callbacks_rich_model_summary_composes(self):
+        cfg = compose(CONFIG_DIR, "run", [
+            "lightning_datamodule=bwe", "lightning_module=eben",
+            "callbacks=rich_model_summary",
+        ])
+        ms = instantiate(cfg.callbacks["model_summary"])
+        from vibravox_tpu.core.callbacks import ModelSummary
+
+        assert isinstance(ms, ModelSummary) and ms.max_depth == 3
+
     def test_instantiate_partial_and_tuple(self):
         node = Config({
             "_target_": "vibravox_tpu.core.optim.adam",
@@ -65,6 +93,57 @@ class TestConfigCompose:
         opt_factory = instantiate(node)
         opt = opt_factory()
         assert hasattr(opt, "init") and hasattr(opt, "update")
+
+
+class TestOptimizerFactories:
+    def test_sgd_matches_torch_sgd(self):
+        """vibravox_tpu.core.optim.sgd vs torch.optim.SGD trajectories
+        (momentum + L2 weight decay + nesterov)."""
+        torch = pytest.importorskip("torch")
+        from vibravox_tpu.core.optim import sgd
+
+        for momentum, wd, nesterov in [(0.0, 0.0, False), (0.9, 0.01, False),
+                                       (0.9, 0.0, True)]:
+            w0 = np.random.default_rng(3).standard_normal(6).astype(np.float32)
+            tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+            topt = torch.optim.SGD([tw], lr=0.05, momentum=momentum,
+                                   weight_decay=wd, nesterov=nesterov)
+            opt = sgd(lr=0.05, momentum=momentum, weight_decay=wd, nesterov=nesterov)
+            jw = jnp.asarray(w0)
+            state = opt.init(jw)
+            for step in range(4):
+                g = np.random.default_rng(10 + step).standard_normal(6).astype(np.float32)
+                tw.grad = torch.from_numpy(g.copy())
+                topt.step()
+                updates, state = opt.update(jnp.asarray(g), state, jw)
+                jw = jw + updates
+            np.testing.assert_allclose(
+                np.asarray(jw), tw.detach().numpy(), rtol=1e-5, atol=1e-6,
+                err_msg=f"momentum={momentum} wd={wd} nesterov={nesterov}",
+            )
+
+
+class TestModelSummary:
+    def test_depth_controls_breakdown(self):
+        import dataclasses
+
+        from vibravox_tpu.core.callbacks import ModelSummary
+
+        @dataclasses.dataclass
+        class State:
+            gen_params: dict
+            step: int
+
+        state = State(
+            gen_params={"enc": {"w": np.zeros((2, 3))}, "dec": {"w": np.zeros((4,))}},
+            step=0,
+        )
+        shallow = ModelSummary(max_depth=1).summarize(state)
+        assert "gen_params: 10 params" in shallow and "enc" not in shallow
+        deep = ModelSummary(max_depth=3).summarize(state)
+        assert "gen_params.enc: 6 params" in deep
+        assert "gen_params.dec: 4 params" in deep
+        assert "total: 10" in deep
 
 
 class TestCheckpointManager:

@@ -30,11 +30,15 @@ def _mk_kernels(rng, c):
 
 
 def _fused(x, kernels):
+    prev = os.environ.get("VIBRAVOX_FUSED_RU")
     os.environ["VIBRAVOX_FUSED_RU"] = "1"
     try:
         return residual_stack(x, kernels)
     finally:
-        os.environ["VIBRAVOX_FUSED_RU"] = "0"
+        if prev is None:
+            os.environ.pop("VIBRAVOX_FUSED_RU", None)
+        else:
+            os.environ["VIBRAVOX_FUSED_RU"] = prev
 
 
 class TestFusedResidualStack:

@@ -1,4 +1,11 @@
-"""Mimi codec + regressive task tests (tiny config)."""
+"""Mimi codec + regressive task tests (tiny config) and HF-converter parity.
+
+The parity class pins the full converter chain (`mimi_params_from_hf_torch`)
+against a randomly-initialised tiny ``transformers.MimiModel`` — the same
+oracle topology the real ``kyutai/mimi`` weights flow through
+(``/root/reference/vibravox/lightning_modules/regressive_mimi.py:24-38``
+loads the pretrained codec as the task's entire training signal).
+"""
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +41,97 @@ class TestMimiCodec:
     def test_valid_length_rounds_up(self, mimi):
         assert mimi.valid_length(1) == mimi.frame_size
         assert mimi.valid_length(mimi.frame_size) == mimi.frame_size
+
+
+class TestMimiHFConverterParity:
+    """Converted HF ``MimiModel`` weights must reproduce HF forwards."""
+
+    @pytest.fixture(scope="class")
+    def converted(self):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from vibravox_tpu.models.mimi.convert import (
+            hf_mimi_config_to_native,
+            mimi_params_from_hf_torch,
+        )
+
+        torch.manual_seed(0)
+        hf_cfg = transformers.MimiConfig(
+            sampling_rate=24000,
+            hidden_size=32,
+            num_filters=4,
+            upsampling_ratios=[4, 2],
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_key_value_heads=2,
+            head_dim=16,
+            intermediate_size=64,
+            sliding_window=10,
+            codebook_dim=16,
+            vector_quantization_hidden_dimension=16,
+            num_quantizers=4,
+            codebook_size=64,
+            compress=2,
+            upsample_groups=32,
+        )
+        hf = transformers.MimiModel(hf_cfg).eval()
+        # EMA codebook buffers initialise to zero; randomise them so the
+        # materialised codebooks (embed_sum / cluster_usage) are non-trivial
+        with torch.no_grad():
+            for q in (
+                hf.quantizer.semantic_residual_vector_quantizer,
+                hf.quantizer.acoustic_residual_vector_quantizer,
+            ):
+                for layer in q.layers:
+                    usage = torch.rand_like(layer.codebook.cluster_usage) + 0.5
+                    layer.codebook.cluster_usage.copy_(usage)
+                    layer.codebook.embed_sum.copy_(
+                        torch.randn_like(layer.codebook.embed_sum) * usage[:, None]
+                    )
+        cfg = hf_mimi_config_to_native(hf_cfg)
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = mimi_params_from_hf_torch(sd, cfg)
+        return hf, torch, Mimi(config=cfg, params=params)
+
+    @pytest.fixture(scope="class")
+    def audio(self, converted):
+        hop = converted[2].frame_size
+        rng = np.random.default_rng(1)
+        return rng.standard_normal((2, 4 * hop)).astype(np.float32) * 0.3
+
+    def test_encoder_latent_parity(self, converted, audio):
+        hf, torch, mimi = converted
+        with torch.no_grad():
+            xt = torch.from_numpy(audio)[:, None, :]
+            emb = hf.encoder(xt)
+            emb = hf.encoder_transformer(emb.transpose(1, 2))[0].transpose(1, 2)
+            latent_hf = hf.downsample(emb).numpy().transpose(0, 2, 1)
+        latent = np.asarray(mimi.encode_to_latent(audio[:, :, None]))
+        np.testing.assert_allclose(latent, latent_hf, atol=1e-4)
+
+    def test_rvq_codes_match(self, converted, audio):
+        hf, torch, mimi = converted
+        with torch.no_grad():
+            codes_hf = hf.encode(torch.from_numpy(audio)[:, None, :]).audio_codes
+        codes = np.asarray(mimi.encode(audio[:, :, None]))  # (n_q, B, T')
+        np.testing.assert_array_equal(codes, codes_hf.numpy().transpose(1, 0, 2))
+
+    def test_decode_round_trip_parity(self, converted, audio):
+        hf, torch, mimi = converted
+        with torch.no_grad():
+            codes_hf = hf.encode(torch.from_numpy(audio)[:, None, :]).audio_codes
+            audio_hf = hf.decode(codes_hf).audio_values.numpy()[:, 0, :]
+        rec = np.asarray(mimi.decode(codes_hf.numpy().transpose(1, 0, 2)))[:, :, 0]
+        np.testing.assert_allclose(rec, audio_hf, atol=1e-4)
+
+    def test_converter_rejects_unconsumed_keys(self, converted):
+        hf, torch, mimi = converted
+        from vibravox_tpu.models.mimi.convert import mimi_params_from_hf_torch
+
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        sd["surprise.weight"] = np.zeros((1,), np.float32)
+        with pytest.raises(ValueError, match="unconsumed"):
+            mimi_params_from_hf_torch(sd, mimi.config)
 
 
 class TestRegressiveMimiTask:

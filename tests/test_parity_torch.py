@@ -6,6 +6,7 @@ reproduce the torch outputs to float32 tolerance.  Skipped when the
 reference repo or torch is unavailable.
 """
 
+import importlib.machinery
 import sys
 import types
 
@@ -33,6 +34,10 @@ def _reference_on_path():
 
         tat.Resample = _Resample
         ta.transforms = tat
+        # a spec-less module breaks any later find_spec("torchaudio") in the
+        # same process (test-order sensitivity); give the stub a real spec
+        ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", None)
+        tat.__spec__ = importlib.machinery.ModuleSpec("torchaudio.transforms", None)
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = tat
     yield

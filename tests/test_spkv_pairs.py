@@ -1,0 +1,124 @@
+"""SPKV trial-pair loading against the reference's committed pickles.
+
+The reference ships its real trial lists as pickles of ``(index_a,
+index_b)`` tuples over the speaker-sorted test split
+(``/root/reference/vibravox/lightning_datamodules/spkv.py:226-242``;
+fixtures under ``configs/lightning_datamodule/spkv_pairs/``).  These tests
+drive :class:`SPKVDataModule`'s ``pairs_file`` path with those exact files —
+a real-data check of the pickle format, the index pairing, and the paired
+test loader — using a metadata-only source sized to the pickles' index
+range (the audio content is irrelevant to the pairing contract).
+"""
+
+import os
+import pickle
+
+import pytest
+
+from vibravox_tpu.data.spkv import SPKVDataModule
+
+_PAIRS_DIR = "/root/reference/configs/lightning_datamodule/spkv_pairs"
+_CI_FIXTURE = os.path.join(_PAIRS_DIR, "vibravox-test/speech_clean/mixed_gender.pkl")
+_MAIN_FIXTURE = os.path.join(_PAIRS_DIR, "mixed_gender.pkl")
+
+requires_pairs = pytest.mark.skipif(
+    not os.path.isdir(_PAIRS_DIR), reason="reference SPKV pickles not mounted"
+)
+
+
+class _MetaOnlySource:
+    """Rows with metadata + short dummy audio; mirrors the speaker/sentence
+    structure the pickles were generated against (several rows per speaker)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        return {
+            "audio": np.full((16,), float(i), dtype=np.float32),
+            "speaker_id": f"spk_{i // 4:03d}",
+            "sentence_id": int(i),
+            "gender": "male" if (i // 4) % 2 == 0 else "female",
+        }
+
+
+class _PairsOnlyDataModule(SPKVDataModule):
+    """SPKVDataModule with the dataset swapped for a metadata-only source —
+    everything downstream of ``_load_split`` (sort, pickle, pairing,
+    loaders) is the production code path."""
+
+    def __init__(self, n_rows: int, **kw):
+        super().__init__(dataset_name="synthetic", **kw)
+        self._n_rows = n_rows
+
+    def _load_split(self, split, sensor):
+        return _MetaOnlySource(self._n_rows)
+
+
+@requires_pairs
+class TestReferencePairPickles:
+    def test_ci_fixture_loads_with_correct_count_and_pairing(self):
+        with open(_CI_FIXTURE, "rb") as f:
+            pairs = pickle.load(f)
+        assert len(pairs) == 96
+        n_rows = max(max(a, b) for a, b in pairs) + 1  # 48
+
+        dm = _PairsOnlyDataModule(n_rows, pairs_file=_CI_FIXTURE, batch_size=1)
+        dm.setup("test")
+        loader = dm.test_dataloader()
+        assert len(loader) == 96
+
+        # reconstruct the reference's speaker-sorted view and check every
+        # emitted pair is exactly (sorted[a], sorted[b])
+        src = _MetaOnlySource(n_rows)
+        order = sorted(range(n_rows), key=lambda i: str(src[i]["speaker_id"]))
+        for (a, b), batch in zip(pairs, loader):
+            row_a = src[order[a]]
+            row_b = src[order[b]]
+            assert batch["sensor_a"]["sentence_id"][0] == row_a["sentence_id"]
+            assert batch["sensor_b"]["sentence_id"][0] == row_b["sentence_id"]
+            assert batch["sensor_a"]["speaker_id"][0] == row_a["speaker_id"]
+            assert batch["sensor_b"]["speaker_id"][0] == row_b["speaker_id"]
+
+    def test_ci_fixture_has_target_and_nontarget_trials(self):
+        with open(_CI_FIXTURE, "rb") as f:
+            pairs = pickle.load(f)
+        n_rows = max(max(a, b) for a, b in pairs) + 1
+        dm = _PairsOnlyDataModule(n_rows, pairs_file=_CI_FIXTURE, batch_size=1)
+        dm.setup("test")
+        same = diff = 0
+        for batch in dm.test_dataloader():
+            if batch["sensor_a"]["speaker_id"][0] == batch["sensor_b"]["speaker_id"][0]:
+                same += 1
+            else:
+                diff += 1
+        # a usable verification trial list needs both classes
+        assert same > 0 and diff > 0
+
+    def test_main_98k_pickle_loads_end_to_end(self):
+        with open(_MAIN_FIXTURE, "rb") as f:
+            pairs = pickle.load(f)
+        assert len(pairs) == 98532
+        n_rows = max(max(a, b) for a, b in pairs) + 1  # 3001
+
+        dm = _PairsOnlyDataModule(n_rows, pairs_file=_MAIN_FIXTURE, batch_size=1)
+        dm.setup("test")
+        loader = dm.test_dataloader()
+        assert len(loader) == 98532
+        # spot-check the head of the stream (full iteration is O(100k) rows)
+        for k, batch in enumerate(loader):
+            assert batch["sensor_a"]["audio"].shape == (1, 16)
+            if k >= 4:
+                break
+
+    def test_same_gender_fixture_pairs_respect_policy_metadata(self):
+        path = os.path.join(_PAIRS_DIR, "vibravox-test/speech_clean/same_gender.pkl")
+        with open(path, "rb") as f:
+            pairs = pickle.load(f)
+        assert len(pairs) == 96
+        assert all(isinstance(a, int) and isinstance(b, int) for a, b in pairs)

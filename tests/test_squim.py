@@ -219,6 +219,126 @@ class TestSquimSubjective:
         )
 
 
+def _subjective_twin_state_dict_and_oracle(cfg: SquimSubjectiveConfig):
+    """torch twin of the torchaudio ``SquimSubjective`` (NORESQA-MOS) topology
+    with torchaudio's state-dict naming (``ssl_model.*``, ``projector``,
+    ``predictor.att_pool_layer.*``, ``predictor.mos_layer``).
+
+    The SSL backbone is a real HF ``transformers.Wav2Vec2Model`` (the same
+    oracle the wav2vec2 converter is pinned against), renamed to torchaudio's
+    ``feature_extractor`` / ``encoder.feature_projection`` /
+    ``encoder.transformer`` nesting — so the test exercises the full
+    torchaudio->HF->flax renaming chain in ``squim_subjective_params_from_torch``.
+    Returns ``(state_dict, oracle_fn)``.
+    """
+    import torch
+    import torch.nn as tnn
+    import transformers
+
+    s = cfg.ssl
+    hf_cfg = transformers.Wav2Vec2Config(
+        vocab_size=1,
+        hidden_size=s.hidden_size,
+        num_hidden_layers=s.num_hidden_layers,
+        num_attention_heads=s.num_attention_heads,
+        intermediate_size=s.intermediate_size,
+        conv_dim=list(s.conv_dim),
+        conv_kernel=list(s.conv_kernel),
+        conv_stride=list(s.conv_stride),
+        num_conv_pos_embeddings=s.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=s.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=False,
+        apply_spec_augment=False,
+        layerdrop=0.0,
+    )
+    torch.manual_seed(0)
+    ssl = transformers.Wav2Vec2Model(hf_cfg).eval()
+    hidden = s.hidden_size
+    projector = tnn.Linear(2 * hidden, cfg.proj_dim)
+    att_lin1 = tnn.Linear(cfg.proj_dim, 1)
+    att_lin2 = tnn.Linear(cfg.proj_dim, cfg.att_dim)
+    mos_layer = tnn.Linear(cfg.att_dim, 1)
+
+    def hf_to_torchaudio(k: str):
+        if k == "masked_spec_embed":
+            return None  # torchaudio's backbone has no spec-augment embed
+        if k.startswith("feature_extractor."):
+            return k
+        if k.startswith("feature_projection."):
+            return "encoder.feature_projection." + k[len("feature_projection."):]
+        if k.startswith("encoder."):
+            return "encoder.transformer." + k[len("encoder."):]
+        raise AssertionError(f"unexpected HF wav2vec2 key {k}")
+
+    sd = {}
+    for k, v in ssl.state_dict().items():
+        tk = hf_to_torchaudio(k)
+        if tk is not None:
+            sd[f"ssl_model.{tk}"] = v.detach().numpy()
+    for name, mod in [
+        ("projector", projector),
+        ("predictor.att_pool_layer.linear1", att_lin1),
+        ("predictor.att_pool_layer.linear2", att_lin2),
+        ("predictor.mos_layer", mos_layer),
+    ]:
+        for pk, pv in mod.state_dict().items():
+            sd[f"{name}.{pk}"] = pv.detach().numpy()
+
+    def oracle(est_np, ref_np):
+        with torch.no_grad():
+            est = torch.from_numpy(est_np)
+            ref = torch.from_numpy(ref_np)
+            reps = -(-est.shape[1] // ref.shape[1])
+            ref = ref.repeat(1, reps)[:, : est.shape[1]]
+            fe = ssl(est).last_hidden_state
+            fr = ssl(ref).last_hidden_state
+            h = projector(torch.cat([fr, fe], dim=-1))
+            att = torch.softmax(att_lin1(h).transpose(1, 2), dim=2)
+            pooled = torch.bmm(att, h)[:, 0]
+            return mos_layer(att_lin2(pooled))[:, 0].numpy()
+
+    return sd, oracle
+
+
+class TestSquimSubjectiveTorchParity:
+    def test_converted_forward_matches_torch_twin(self, rng_np):
+        pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        import dataclasses
+
+        from vibravox_tpu.models.wav2vec2 import TINY_W2V2_CONFIG, Wav2Vec2Config
+
+        ssl_cfg = Wav2Vec2Config(
+            **{**TINY_W2V2_CONFIG, "vocab_size": 1},
+            apply_spec_augment=False, layerdrop=0.0,
+        )
+        cfg = SquimSubjectiveConfig(proj_dim=8, att_dim=8, ssl=ssl_cfg)
+        sd, oracle = _subjective_twin_state_dict_and_oracle(cfg)
+        params = squim_subjective_params_from_torch(sd, cfg)
+
+        model = SquimSubjective(cfg)
+        est = rng_np.standard_normal((2, 4000)).astype(np.float32)
+        ref = rng_np.standard_normal((2, 2500)).astype(np.float32)
+        ours = np.asarray(model.apply(params, jnp.asarray(est), jnp.asarray(ref)))
+        theirs = oracle(est, ref)
+        np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+    def test_converter_rejects_unknown_head_keys(self):
+        pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        from vibravox_tpu.models.wav2vec2 import TINY_W2V2_CONFIG, Wav2Vec2Config
+
+        ssl_cfg = Wav2Vec2Config(
+            **{**TINY_W2V2_CONFIG, "vocab_size": 1},
+            apply_spec_augment=False, layerdrop=0.0,
+        )
+        cfg = SquimSubjectiveConfig(proj_dim=8, att_dim=8, ssl=ssl_cfg)
+        sd, _ = _subjective_twin_state_dict_and_oracle(cfg)
+        sd["predictor.surprise.weight"] = np.zeros((1,), np.float32)
+        with pytest.raises(ValueError, match="unconsumed"):
+            squim_subjective_params_from_torch(sd, cfg)
+
+
 class TestSEMetricsSquimIntegration:
     def test_reference_free_path_with_objective_checkpoint(self, tmp_path, rng_np):
         """End-to-end: a torch SquimObjective checkpoint on disk lights up
@@ -241,6 +361,27 @@ class TestSEMetricsSquimIntegration:
         ref = jnp.asarray(rng_np.standard_normal((2, 8000, 1)).astype(np.float32))
         out2 = se({"enhanced": enhanced, "reference": ref})
         assert {"torchmetrics_si_sdr", "torchmetrics_stoi", "torchsquim_stoi"} <= set(out2)
+
+    def test_mos_path_with_subjective_checkpoint(self, tmp_path, rng_np):
+        """End-to-end: a torch SquimSubjective checkpoint on disk lights up
+        noresqa_mos in both SE eval paths (base_se.py:88-104)."""
+        import torch
+
+        from vibravox_tpu.tasks.se_metrics import SEMetrics
+
+        sd, _ = _subjective_twin_state_dict_and_oracle(SquimSubjectiveConfig())
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                   tmp_path / "squim_subjective.pt")
+
+        se = SEMetrics(16000, squim_dir=str(tmp_path))
+        enhanced = jnp.asarray(rng_np.standard_normal((1, 8000, 1)).astype(np.float32))
+        ref = jnp.asarray(rng_np.standard_normal((1, 8000, 1)).astype(np.float32))
+        out = se({"enhanced": enhanced, "reference": ref})
+        assert "noresqa_mos" in out and np.isfinite(out["noresqa_mos"])
+        # reference-free path reuses the stored first clean batch as the
+        # non-matching reference (base_se.py:91-104)
+        out2 = se({"enhanced": enhanced})
+        assert "noresqa_mos" in out2 and np.isfinite(out2["noresqa_mos"])
 
     def test_no_weights_degrades_gracefully(self, rng_np):
         from vibravox_tpu.tasks.se_metrics import SEMetrics

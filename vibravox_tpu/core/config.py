@@ -214,6 +214,7 @@ class _Composer:
         self.overrides = overrides
         # group -> chosen option (for ${hydra:runtime.choices.*})
         self.choices: Dict[str, str] = {}
+        self.used_group_overrides: set = set()
 
     def _group_overrides(self) -> Dict[str, Override]:
         return {
@@ -225,7 +226,12 @@ class _Composer:
         }
 
     def compose_file(self, rel_path: str, package_path: str = "") -> Config:
-        """Load one YAML and process its defaults list recursively."""
+        """Load one YAML and process its defaults list recursively.
+
+        ``package_path`` is the absolute package this config lands at —
+        nested default groups match CLI overrides in Hydra's absolute form
+        ``group/subgroup@abs.package=option``.
+        """
         path = self.config_dir / (rel_path + ".yaml")
         if not path.exists():
             raise FileNotFoundError(f"Config not found: {path}")
@@ -246,16 +252,26 @@ class _Composer:
             # apply CLI group override (absolute group path key)
             abs_group = group if base_dir in (".", "") else f"{base_dir}/{group}"
             choice_key = abs_group.replace("/", ".")
-            ov_key = f"{choice_key}@{package}" if package else choice_key
-            if ov_key in group_overrides:
-                option = group_overrides[ov_key].value
-            elif choice_key in group_overrides and not package:
-                option = group_overrides[choice_key].value
+            target_pkg = package if package is not None else group.split("/")[-1]
+            abs_pkg = ".".join(p for p in (package_path, target_pkg) if p)
+            # accepted CLI keys for this entry, most specific first:
+            # Hydra's absolute form (slash group @ absolute package), then
+            # legacy dotted forms
+            candidates = [f"{abs_group}@{abs_pkg}"]
+            if package:
+                candidates.append(f"{choice_key}@{package}")
+            else:
+                candidates += [abs_group, choice_key]
+            for key in candidates:
+                if key in group_overrides:
+                    option = group_overrides[key].value
+                    self.used_group_overrides.add(key)
+                    break
             if option in (None, "null"):
                 continue
             self.choices[choice_key] = str(option)
-            sub = self.compose_file(f"{abs_group}/{option}")
-            target_pkg = package if package is not None else group.split("/")[-1]
+            sub_pkg = abs_pkg if target_pkg != "_global_" else package_path
+            sub = self.compose_file(f"{abs_group}/{option}", sub_pkg)
             if target_pkg in ("_global_",):
                 _merge(composed, sub)
             else:
@@ -350,6 +366,13 @@ def compose(
     parsed = [Override(o) for o in (overrides or [])]
     composer = _Composer(Path(config_dir), parsed)
     cfg = composer.compose_file(config_name)
+
+    unused = set(composer._group_overrides()) - composer.used_group_overrides
+    if unused:
+        raise ValueError(
+            f"Group override(s) matched no defaults entry: {sorted(unused)} "
+            "(for nested groups use group/subgroup@absolute.package=option)"
+        )
 
     # value overrides (after composition, Hydra semantics)
     for o in parsed:

@@ -16,6 +16,7 @@ from typing import Any, Dict, Iterable, Optional
 import jax
 import numpy as np
 
+from vibravox_tpu.core.callbacks import ModelSummary
 from vibravox_tpu.core.checkpoint import CheckpointManager
 from vibravox_tpu.core.logging import Logger, NoOpLogger
 from vibravox_tpu.core.profiler import StepTimer, trace_window
@@ -45,6 +46,7 @@ class Trainer:
         num_audio_logs: int = 15,
         precision: Optional[str] = None,
         overfit_batches: int = 0,
+        model_summary: Optional[ModelSummary] = None,
     ):
         """``precision``/``overfit_batches`` mirror the reference trainer's
         (commented) config surface (``configs/trainer/ddp.yaml:12-22``):
@@ -68,6 +70,7 @@ class Trainer:
         self.profile_dir = profile_dir
         self.num_audio_logs = num_audio_logs
         self.precision = precision
+        self.model_summary = model_summary or ModelSummary(max_depth=1)
         self.overfit_batches = int(overfit_batches)
         if self.overfit_batches:
             self.limit_train_batches = self.overfit_batches
@@ -98,33 +101,6 @@ class Trainer:
             self._dp = DataParallel(task, build_mesh(self.mesh_config))
         return self._dp
 
-    def _log_model_summary(self) -> None:
-        """Param-count summary per top-level state field (the reference's
-        ``RichModelSummary`` callback analog — ``configs/callbacks/
-        rich_model_summary.yaml``)."""
-        import dataclasses
-
-        if self.state is None or not dataclasses.is_dataclass(self.state):
-            return
-        import numpy as np
-
-        lines, total = [], 0
-        for field in dataclasses.fields(self.state):
-            name = field.name
-            if "param" not in name:
-                continue
-            sub = getattr(self.state, name, None)
-            if sub is None:
-                continue
-            n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(sub)
-                    if hasattr(l, "shape"))
-            total += n
-            lines.append(f"{name}: {n:,} params")
-        if lines:
-            summary = " | ".join(lines) + f" | total: {total:,}"
-            print(f"[model summary] {summary}", flush=True)
-            self.logger.log_text("model_summary", summary)
-
     def fit(self, task, datamodule) -> None:
         datamodule.setup("fit")
         dp = self._ensure_dp(task)
@@ -149,7 +125,9 @@ class Trainer:
 
         if getattr(task, "description", None):
             self.logger.log_text("description", task.description)
-        self._log_model_summary()
+        # reference's RichModelSummary callback analog
+        # (configs/callbacks/rich_model_summary.yaml)
+        self.model_summary(self.state, self.logger)
 
         timer = StepTimer()
         profiler_trace = None

@@ -13,7 +13,7 @@ from typing import Sequence, Tuple
 
 import optax
 
-__all__ = ["adam", "adamw"]
+__all__ = ["adam", "adamw", "sgd"]
 
 
 def adam(
@@ -32,6 +32,24 @@ def adam(
         parts.append(optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps))
     else:
         parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale(-lr))
+    return optax.chain(*parts)
+
+
+def sgd(
+    lr: float = 1e-3,
+    momentum: float = 0.0,
+    weight_decay: float = 0.0,
+    nesterov: bool = False,
+) -> optax.GradientTransformation:
+    """torch.optim.SGD equivalent (``configs/lightning_module/optimizer/
+    sgd.yaml`` in the reference): L2 folded into the gradient, torch-style
+    momentum buffer (no dampening of the first step's lr scaling)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
     parts.append(optax.scale(-lr))
     return optax.chain(*parts)
 

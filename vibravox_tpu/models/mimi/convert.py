@@ -26,7 +26,19 @@ __all__ = ["mimi_params_from_hf_torch", "hf_mimi_config_to_native"]
 
 
 def hf_mimi_config_to_native(hf_config) -> MimiConfig:
-    """transformers ``MimiConfig`` -> :class:`MimiConfig`."""
+    """transformers ``MimiConfig`` -> :class:`MimiConfig`.
+
+    Rejects HF configurations outside the native module's envelope (the
+    released ``kyutai/mimi`` checkpoint satisfies all of these):
+    plain MHA (no GQA), fused head dim == hidden size, and a single RVQ
+    projection dimension.
+    """
+    if hf_config.num_key_value_heads != hf_config.num_attention_heads:
+        raise ValueError("native MimiTransformer is MHA-only (no GQA)")
+    if hf_config.head_dim * hf_config.num_attention_heads != hf_config.hidden_size:
+        raise ValueError("native MimiTransformer requires head_dim*heads == hidden")
+    if hf_config.vector_quantization_hidden_dimension != hf_config.codebook_dim:
+        raise ValueError("native RVQ assumes vq_hidden_dimension == codebook_dim")
     return MimiConfig(
         sample_rate=hf_config.sampling_rate,
         dimension=hf_config.hidden_size,

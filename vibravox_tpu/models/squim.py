@@ -478,7 +478,7 @@ def squim_subjective_params_from_torch(
     # (never used: the subjective model reads features, not logits)
     ssl_sd.setdefault("lm_head.weight", np.zeros((config.ssl.vocab_size, config.ssl.hidden_size), np.float32))
     ssl_sd.setdefault("lm_head.bias", np.zeros((config.ssl.vocab_size,), np.float32))
-    ssl_params = wav2vec2_params_from_torch(ssl_sd, config.ssl)["params"]
+    ssl_params = wav2vec2_params_from_torch(ssl_sd, config.ssl)
     params: Dict[str, Any] = {"ssl": ssl_params}
     params["projector"] = _lin(head_sd, "projector")
     params["att_pool"] = {
