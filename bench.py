@@ -1,30 +1,66 @@
-"""Benchmark: EBEN BWE GAN training throughput (audio-seconds/sec/chip).
+"""Benchmark: train-step throughput (audio-seconds/sec/chip) + MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu"}.
 
-The headline configuration mirrors the reference's BWE recipe
-(``configs/lightning_datamodule/bwe.yaml``: batch 32 × 2.5 s audio @ 16 kHz)
-with the full GAN step: EBEN generator fwd/bwd, multi-scale discriminators,
-multi-res STFT + feature-matching + hinge losses, EMA dynamic loss
-balancing, both Adam updates — all in one jit.
+Default task is the headline EBEN BWE GAN step; ``--task stp`` (wav2vec2-base
+CTC — the heaviest transformer in the repo) and ``--task mimi`` (Mimi
+encoder-side regressive step) bench the other training families so a
+regression there is visible.  Env knobs: VIBRAVOX_BENCH_TASK,
+VIBRAVOX_BENCH_BATCH.
 
+``mfu`` is measured FLOPs (XLA cost analysis of the compiled step) / step
+time / 197 TF/s (v5e bf16 peak); null when cost analysis is unavailable.
 ``vs_baseline`` is the ratio against a measured PyTorch-reference
-throughput stored in BENCH_BASELINE.json (key ``torch_reference_audio_sec_per_sec``);
-null until that measurement exists.
+throughput stored in BENCH_BASELINE.json (key
+``torch_reference_audio_sec_per_sec``); null until that measurement exists.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
 from pathlib import Path
 
+V5E_BF16_PEAK = 197e12
 
-def main() -> None:
-    from vibravox_tpu.core.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+def _measure(dp, state, batch, n_steps=10, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        state, logs = dp.train_step(state, batch)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, logs = dp.train_step(state, batch)
+    jax.block_until_ready(state)
+    return (time.perf_counter() - t0) / n_steps, state
+
+
+def _step_flops(dp, state, batch):
+    """FLOPs of one compiled train step via XLA cost analysis (None on
+    backends that don't report it)."""
+    import jax
+
+    from vibravox_tpu.parallel.mesh import shard_batch
+
+    try:
+        arrays, _ = dp.split_batch(batch)
+        compiled = dp._train_step.lower(
+            state, shard_batch(dp.mesh, arrays)
+        ).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _bench_eben(batch_size):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,9 +79,7 @@ def main() -> None:
     # 621 audio-s/s/chip, 64 → 793, 128 → 1471, 256 → 1386 (HBM pressure).
     # The reference's training recipe stays batch 32; this benchmarks the
     # hardware ceiling of the identical step function.
-    batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", "128"))
     seconds = 2.5
-
     task = EBENTask(
         sample_rate=sample_rate,
         generator=EBENGenerator(m=4, n=32, p=2),
@@ -64,7 +98,6 @@ def main() -> None:
         dynamic_loss_balancing="ema",
         compute_dtype="bfloat16",
     )
-
     t_samples = task.generator.valid_length(int(seconds * sample_rate))
     rng = np.random.default_rng(0)
     batch = {
@@ -75,29 +108,98 @@ def main() -> None:
             rng.standard_normal((batch_size, t_samples, 1)).astype(np.float32) * 0.1
         ),
     }
-
-    n_chips = jax.device_count()
     dp = DataParallel(task, build_mesh())
     state = dp.init_state(jax.random.key(0), batch)
+    return "eben_gan_train_throughput", dp, state, batch, batch_size * t_samples / 16000
 
-    # warmup (compile)
-    for _ in range(3):
-        state, logs = dp.train_step(state, batch)
-    jax.block_until_ready(state)
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, logs = dp.train_step(state, batch)
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / n_steps
+def _bench_stp(batch_size):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
 
-    audio_seconds = batch_size * t_samples / sample_rate
+    from vibravox_tpu.models.wav2vec2 import wav2vec2_for_ctc_from_config
+    from vibravox_tpu.parallel.mesh import DataParallel, build_mesh
+    from vibravox_tpu.tasks.wav2vec2_stp import Wav2Vec2STPTask
+
+    # reference recipe: wav2vec2-base, batch 8 (configs/lightning_datamodule/
+    # stp.yaml), ~3 s utterances padded to x128
+    seconds = 3.0
+    task = Wav2Vec2STPTask(
+        wav2vec2_for_ctc=wav2vec2_for_ctc_from_config(),  # default = base
+        optimizer=optax.adam(1e-5),
+        compute_dtype="bfloat16",
+    )
+    t = int(seconds * 16000) // 128 * 128
+    rng = np.random.default_rng(0)
+    ids = np.full((batch_size, 128), -100, np.int64)
+    ids[:, :40] = rng.integers(0, 35, size=(batch_size, 40))
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((batch_size, t)).astype(np.float32)),
+        "phonemes_ids": jnp.asarray(ids),
+    }
+    dp = DataParallel(task, build_mesh())
+    state = dp.init_state(jax.random.key(0), batch)
+    return "wav2vec2_ctc_train_throughput", dp, state, batch, batch_size * t / 16000
+
+
+def _bench_mimi(batch_size):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vibravox_tpu.models.mimi.mimi import Mimi
+    from vibravox_tpu.parallel.mesh import DataParallel, build_mesh
+    from vibravox_tpu.tasks.regressive_mimi import RegressiveMimiTask
+
+    # full-size Mimi codec (24 kHz), encoder-side latent-regression step
+    # (regressive_mimi.py:24-38)
+    mimi = Mimi()
+    task = RegressiveMimiTask(mimi=mimi, optimizer=optax.adam(1e-4))
+    t = mimi.valid_length(int(2.0 * 24000))
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((batch_size, t, 1)).astype(np.float32) * 0.1
+    batch = {
+        "audio_body_conducted": jnp.asarray(ref * 0.5),
+        "audio_airborne": jnp.asarray(ref),
+    }
+    dp = DataParallel(task, build_mesh())
+    state = dp.init_state(jax.random.key(0), batch)
+    return "mimi_regressive_train_throughput", dp, state, batch, batch_size * t / 24000
+
+
+_TASKS = {"eben": (_bench_eben, 128), "stp": (_bench_stp, 8), "mimi": (_bench_mimi, 16)}
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--task", default=os.environ.get("VIBRAVOX_BENCH_TASK", "eben"),
+        choices=sorted(_TASKS),
+    )
+    args = parser.parse_args(argv)
+
+    from vibravox_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    build, default_batch = _TASKS[args.task]
+    batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", str(default_batch)))
+    metric, dp, state, batch, audio_seconds = build(batch_size)
+
+    n_chips = jax.device_count()
+    dt, state = _measure(dp, state, batch)
     throughput = audio_seconds / dt / n_chips
 
-    baseline_path = Path(__file__).parent / "BENCH_BASELINE.json"
+    flops = _step_flops(dp, state, batch)
+    mfu = flops / dt / (n_chips * V5E_BF16_PEAK) if flops else None
+
     vs_baseline = None
-    if baseline_path.exists():
+    baseline_path = Path(__file__).parent / "BENCH_BASELINE.json"
+    if args.task == "eben" and baseline_path.exists():
         base = json.loads(baseline_path.read_text())
         ref = base.get("torch_reference_audio_sec_per_sec")
         if ref:
@@ -106,10 +208,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "eben_gan_train_throughput",
+                "metric": metric,
                 "value": round(throughput, 3),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+                "mfu": round(mfu, 4) if mfu else None,
             }
         )
     )

@@ -448,3 +448,53 @@ class TestTinyFanInConvVJP:
         g = jnp.asarray(rng_np.standard_normal(ref_fn(x, w).shape).astype(np.float32))
         for do, dr in zip(jax.vjp(ours_fn, x, w)[1](g), jax.vjp(ref_fn, x, w)[1](g)):
             np.testing.assert_allclose(np.asarray(do), np.asarray(dr), atol=2e-4)
+
+
+class TestGroupedConvSPMDSafe:
+    """ops/conv.py::grouped_conv1d_spmd_safe — the custom vjp must equal XLA
+    autodiff on one device AND stay correct on a (data, model) mesh, where
+    XLA's native grouped kernel-grad transpose is mis-reduced by GSPMD
+    (dW x model-axis-size; caught by tests/test_multidevice_equivalence)."""
+
+    def _setup(self, rng_np):
+        from vibravox_tpu.ops.conv import _conv1d_raw, grouped_conv1d_spmd_safe
+
+        b, t, c, k, g = 8, 128, 32, 16, 2
+        x = jnp.asarray(rng_np.standard_normal((b, t, c)).astype(np.float32))
+        w = jnp.asarray(rng_np.standard_normal((k, c // g, c)).astype(np.float32) * 0.1)
+        pad = (k // 2, k // 2)
+        f_safe = lambda xx, ww: jnp.sum(jnp.sin(grouped_conv1d_spmd_safe(xx, ww, pad, g)))
+        f_raw = lambda xx, ww: jnp.sum(jnp.sin(_conv1d_raw(xx, ww, 1, pad, 1, g)))
+        return x, w, f_safe, f_raw
+
+    def test_vjp_matches_xla_autodiff(self, rng_np):
+        x, w, f_safe, f_raw = self._setup(rng_np)
+        gs = jax.grad(f_safe, argnums=(0, 1))(x, w)
+        gr = jax.grad(f_raw, argnums=(0, 1))(x, w)
+        for a, b in zip(gs, gr):
+            # einsum-based dW vs XLA's conv-based dW: same math, different
+            # f32 reduction order over B*T ~ 1e3 terms
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4
+            )
+
+    def test_model_axis_mesh_does_not_scale_dw(self, rng_np):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        x, w, f_safe, _ = self._setup(rng_np)
+
+        def dw_on(shape):
+            devs = jax.devices()[: shape[0] * shape[1]]
+            mesh = Mesh(np.asarray(devs).reshape(shape), ("data", "model"))
+            ss = NamedSharding(mesh, P())
+            xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+            ws = jax.device_put(w, ss)
+            return np.asarray(jax.device_get(
+                jax.jit(jax.grad(lambda ww, xx: f_safe(xx, ww)),
+                        in_shardings=(ss, None), out_shardings=ss)(ws, xs)
+            ))
+
+        a = dw_on((1, 1))
+        b = dw_on((4, 2))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(a, b, atol=1e-6 * max(scale, 1.0))

@@ -89,11 +89,15 @@ class Trainer:
             return
         p = str(self.precision)
         if p in ("32", "32-true"):
-            task.compute_dtype = None
+            dtype = None
         elif p.startswith(("bf16", "16")):  # 16-* maps to bf16 on TPU
-            task.compute_dtype = "bfloat16"
+            dtype = "bfloat16"
         else:
             raise ValueError(f"unsupported precision {self.precision!r}")
+        if hasattr(task, "set_compute_dtype"):
+            task.set_compute_dtype(dtype)  # tasks that rebuild their module
+        else:
+            task.compute_dtype = dtype
 
     def _ensure_dp(self, task) -> DataParallel:
         if self._dp is None:

@@ -69,10 +69,13 @@ class LFEBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, F, C)
         stride = (1, self.freq_stride)
-        h = nn.Conv(self.channels, (3, 3), strides=stride, padding="SAME", name="conv1")(x)
+        # explicit (1,1)x(1,1) padding == torch Conv2d(padding=1): SAME pads
+        # asymmetrically under stride 2, which would break checkpoint parity
+        h = nn.Conv(self.channels, (3, 3), strides=stride,
+                    padding=((1, 1), (1, 1)), name="conv1")(x)
         h = nn.BatchNorm(use_running_average=True, name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.channels, (3, 3), padding="SAME", name="conv2")(h)
+        h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(h)
         h = nn.BatchNorm(use_running_average=True, name="bn2")(h)
         h = FwSEBlock(name="fwse")(h)
         if x.shape[-1] != self.channels or self.freq_stride != 1:
@@ -168,7 +171,7 @@ class ECAPA2(nn.Module):
         feats = feats - jnp.mean(feats, axis=1, keepdims=True)
         x = feats[:, :, :, None]  # (B, T, F, 1)
 
-        x = nn.Conv(cfg.stem_channels, (3, 3), padding="SAME", name="stem")(x)
+        x = nn.Conv(cfg.stem_channels, (3, 3), padding=((1, 1), (1, 1)), name="stem")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=True, name="stem_bn")(x))
         for si, (ch, n_blocks, stride) in enumerate(cfg.lfe_stages):
             for bi in range(n_blocks):
@@ -191,21 +194,118 @@ class ECAPA2(nn.Module):
         return nn.Dense(cfg.embed_dim, name="embedding")(pooled)
 
 
+def _conv2d(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)."""
+    out = {"kernel": np.transpose(np.asarray(sd.pop(f"{prefix}.weight")), (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd.pop(f"{prefix}.bias"))
+    return out
+
+
+def _conv1d(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """torch Conv1d (out, in, k) -> flax (k, in, out)."""
+    out = {"kernel": np.transpose(np.asarray(sd.pop(f"{prefix}.weight")), (2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd.pop(f"{prefix}.bias"))
+    return out
+
+
+def _linear(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.asarray(sd.pop(f"{prefix}.weight")).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd.pop(f"{prefix}.bias"))
+    return out
+
+
+def _bn(sd: Dict[str, np.ndarray], prefix: str):
+    """torch BatchNorm -> (flax params, flax batch_stats)."""
+    sd.pop(f"{prefix}.num_batches_tracked", None)
+    params = {
+        "scale": np.asarray(sd.pop(f"{prefix}.weight")),
+        "bias": np.asarray(sd.pop(f"{prefix}.bias")),
+    }
+    stats = {
+        "mean": np.asarray(sd.pop(f"{prefix}.running_mean")),
+        "var": np.asarray(sd.pop(f"{prefix}.running_var")),
+    }
+    return params, stats
+
+
 def ecapa2_params_from_torchscript(
     state_dict: Dict[str, np.ndarray], config: ECAPA2Config = ECAPA2Config()
 ) -> Dict[str, Any]:
-    """Map a ``torch.jit.load('ecapa2.pt').state_dict()`` onto :class:`ECAPA2`.
+    """Map a torch ECAPA2 state dict (``torch.jit.load('ecapa2.pt')
+    .state_dict()`` or an eager twin) onto :class:`ECAPA2` variables.
 
-    The released archive is network-gated (zero egress here), so the exact
-    parameter names of the TorchScript graph are not yet pinned; this
-    converter reports the full checkpoint inventory (name -> shape) against
-    this module's expected tree so the mapping can be completed in one pass
-    the moment the file is reachable.  It intentionally raises rather than
-    guessing a by-shape alignment.
+    The expected key layout mirrors this module's structure (``stem``,
+    ``stage{s}.block{b}.{conv1,bn1,conv2,bn2,fwse.fc1,fwse.fc2,shortcut}``,
+    ``gfe_proj``/``gfe_bn``/``gfe_block.*``, ``pooling.att_conv{1,2}``,
+    ``pool_bn``, ``embedding``) — pinned offline against a torch twin in
+    ``tests/test_ecapa2.py``.  The released TorchScript archive
+    (hf.co/Jenthe/ECAPA2, network-gated) uses its own attribute names: the
+    online step is a key *rename* onto this layout, not a new converter.
+    Consumes keys destructively and raises on any leftover with the full
+    inventory, so a skeleton drift fails loudly instead of mis-mapping.
     """
-    inventory = {k: tuple(np.asarray(v).shape) for k, v in state_dict.items()}
-    raise NotImplementedError(
-        "ECAPA2 TorchScript weight mapping requires one online inspection of "
-        "the released graph (hf.co/Jenthe/ECAPA2). Checkpoint inventory "
-        f"({len(inventory)} tensors): {sorted(inventory.items())[:40]} ..."
-    )
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def take_bn(torch_name: str, flax_name: str, holder_p=None, holder_s=None):
+        p, s = _bn(sd, torch_name)
+        (holder_p if holder_p is not None else params)[flax_name] = p
+        (holder_s if holder_s is not None else stats)[flax_name] = s
+
+    params["stem"] = _conv2d(sd, "stem")
+    take_bn("stem_bn", "stem_bn")
+
+    for si, (ch, n_blocks, stride) in enumerate(config.lfe_stages):
+        for bi in range(n_blocks):
+            t = f"stage{si}.block{bi}"
+            f = f"stage{si}_block{bi}"
+            blk_p: Dict[str, Any] = {
+                "conv1": _conv2d(sd, f"{t}.conv1"),
+                "conv2": _conv2d(sd, f"{t}.conv2"),
+                "fwse": {
+                    "fc1": _linear(sd, f"{t}.fwse.fc1"),
+                    "fc2": _linear(sd, f"{t}.fwse.fc2"),
+                },
+            }
+            blk_s: Dict[str, Any] = {}
+            take_bn(f"{t}.bn1", "bn1", blk_p, blk_s)
+            take_bn(f"{t}.bn2", "bn2", blk_p, blk_s)
+            if f"{t}.shortcut.weight" in sd:
+                blk_p["shortcut"] = _conv2d(sd, f"{t}.shortcut")
+            params[f] = blk_p
+            stats[f] = blk_s
+
+    params["gfe_proj"] = _conv1d(sd, "gfe_proj")
+    take_bn("gfe_bn", "gfe_bn")
+
+    gfe_p: Dict[str, Any] = {
+        "conv_in": _conv1d(sd, "gfe_block.conv_in"),
+        "conv_out": _conv1d(sd, "gfe_block.conv_out"),
+        "se_fc1": _linear(sd, "gfe_block.se_fc1"),
+        "se_fc2": _linear(sd, "gfe_block.se_fc2"),
+    }
+    gfe_s: Dict[str, Any] = {}
+    take_bn("gfe_block.bn_in", "bn_in", gfe_p, gfe_s)
+    take_bn("gfe_block.bn_out", "bn_out", gfe_p, gfe_s)
+    for i in range(1, config.res2_scale):
+        gfe_p[f"res2_conv_{i}"] = _conv1d(sd, f"gfe_block.res2_convs.{i}")
+    params["gfe_block"] = gfe_p
+    stats["gfe_block"] = gfe_s
+
+    params["pooling"] = {
+        "att_conv1": _conv1d(sd, "pooling.att_conv1"),
+        "att_conv2": _conv1d(sd, "pooling.att_conv2"),
+    }
+    take_bn("pool_bn", "pool_bn")
+    params["embedding"] = _linear(sd, "embedding")
+
+    if sd:
+        raise ValueError(
+            "unconsumed torch ECAPA2 keys (skeleton drift or un-renamed "
+            f"TorchScript layout): {sorted(sd)[:30]}"
+        )
+    return {"params": params, "batch_stats": stats}

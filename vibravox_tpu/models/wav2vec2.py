@@ -72,6 +72,10 @@ class Wav2Vec2Config:
     mask_feature_prob: float = 0.0
     mask_feature_length: int = 10
     mask_feature_min_masks: int = 0
+    # matmul/conv compute dtype ("bfloat16" on TPU, where f32 matmuls are
+    # software-emulated); params stay f32 masters, layer norms accumulate in
+    # f32 (flax dtype promotion), CTC loss consumes f32 logits
+    compute_dtype: Optional[str] = None
 
     def feat_extract_output_length(self, input_length: int) -> int:
         for k, s in zip(self.conv_kernel, self.conv_stride):
@@ -107,13 +111,14 @@ class FeatureEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        dt = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         h = x[:, :, None]
         for i, (dim, kernel, stride) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
         ):
             h = nn.Conv(
                 dim, (kernel,), strides=(stride,), padding="VALID",
-                use_bias=cfg.conv_bias, name=f"conv_{i}",
+                use_bias=cfg.conv_bias, dtype=dt, name=f"conv_{i}",
             )(h)
             if cfg.feat_extract_norm == "group" and i == 0:
                 h = nn.GroupNorm(num_groups=dim, epsilon=cfg.layer_norm_eps,
@@ -153,11 +158,16 @@ class PositionalConvEmbedding(nn.Module):
         kernel = v * (g[:, None, None] / norm)
         bias = self.param("conv_bias", nn.initializers.zeros, (dim,))
         pad = k // 2
-        out = jax.lax.conv_general_dilated(
-            h, kernel, (1,), [(pad, pad)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=groups,
-        ) + bias
+        # custom-vjp grouped conv: XLA's grouped kernel-grad transpose is
+        # mis-reduced by GSPMD on (data, model) meshes for this config
+        # (dW x model-axis-size — see ops/conv.py::grouped_conv1d_spmd_safe)
+        from vibravox_tpu.ops.conv import grouped_conv1d_spmd_safe
+
+        if cfg.compute_dtype:
+            dt = jnp.dtype(cfg.compute_dtype)
+            h = h.astype(dt)
+            kernel = kernel.astype(dt)
+        out = grouped_conv1d_spmd_safe(h, kernel, (pad, pad), groups) + bias
         if k % 2 == 0:
             out = out[:, :-1, :]
         return nn.gelu(out, approximate=False)
@@ -171,28 +181,29 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         cfg = self.config
+        dt = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         heads = cfg.num_attention_heads
         head_dim = cfg.hidden_size // heads
 
         residual = h
-        q = nn.Dense(cfg.hidden_size, name="q_proj")(h)
-        k = nn.Dense(cfg.hidden_size, name="k_proj")(h)
-        v = nn.Dense(cfg.hidden_size, name="v_proj")(h)
+        q = nn.Dense(cfg.hidden_size, dtype=dt, name="q_proj")(h)
+        k = nn.Dense(cfg.hidden_size, dtype=dt, name="k_proj")(h)
+        v = nn.Dense(cfg.hidden_size, dtype=dt, name="v_proj")(h)
 
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], heads, head_dim)
 
         attn = jax.nn.dot_product_attention(split(q), split(k), split(v))
         attn = attn.reshape(h.shape)
-        attn = nn.Dense(cfg.hidden_size, name="out_proj")(attn)
+        attn = nn.Dense(cfg.hidden_size, dtype=dt, name="out_proj")(attn)
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(residual + attn)
 
         residual = h
-        ff = nn.Dense(cfg.intermediate_size, name="intermediate_dense")(h)
+        ff = nn.Dense(cfg.intermediate_size, dtype=dt, name="intermediate_dense")(h)
         ff = nn.gelu(ff, approximate=False)
         ff = nn.Dropout(cfg.activation_dropout)(ff, deterministic=deterministic)
-        ff = nn.Dense(cfg.hidden_size, name="output_dense")(ff)
+        ff = nn.Dense(cfg.hidden_size, dtype=dt, name="output_dense")(ff)
         ff = nn.Dropout(cfg.hidden_dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(residual + ff)
 
@@ -237,7 +248,11 @@ class Wav2Vec2ForCTCModule(nn.Module):
             feats = jax.lax.stop_gradient(feats)
 
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feat_proj_layer_norm")(feats)
-        h = nn.Dense(cfg.hidden_size, name="feat_projection")(h)
+        h = nn.Dense(
+            cfg.hidden_size,
+            dtype=jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None,
+            name="feat_projection",
+        )(h)
         h = nn.Dropout(cfg.feat_proj_dropout)(h, deterministic=deterministic)
 
         # SpecAugment (ref: HF applies inside the model when training).
@@ -284,7 +299,12 @@ class Wav2Vec2ForCTCModule(nn.Module):
             # used by e.g. the SQUIM subjective (NORESQA-MOS) predictor
             return h
         h = nn.Dropout(cfg.final_dropout)(h, deterministic=deterministic)
-        return nn.Dense(cfg.vocab_size, name="lm_head")(h)
+        logits = nn.Dense(
+            cfg.vocab_size,
+            dtype=jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None,
+            name="lm_head",
+        )(h)
+        return logits.astype(jnp.float32)  # CTC/decoding consume f32 logits
 
 
 # --------------------------------------------------------------------------- #

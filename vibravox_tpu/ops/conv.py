@@ -27,6 +27,7 @@ __all__ = [
     "reflect_pad",
     "conv1d",
     "conv_transpose1d",
+    "grouped_conv1d_spmd_safe",
     "polyphase_upsample_conv",
     "same_pad_amount",
     "torch_conv_weight_to_wio",
@@ -254,6 +255,45 @@ def _conv1d_strided_bwd(stride, pad, groups, res, g):
 
 
 _conv1d_strided.defvjp(_conv1d_strided_fwd, _conv1d_strided_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def grouped_conv1d_spmd_safe(x, weight, pad, groups):
+    """Stride-1 grouped conv whose vjp never hits XLA's grouped kernel-grad
+    transpose.
+
+    Under a multi-axis ``jax.sharding.Mesh`` with an unused (model) axis,
+    GSPMD mis-reduces the ``feature_group_count`` kernel-gradient conv for
+    some configurations — measured: the wav2vec2 positional conv (k=128,
+    groups=16) gets its dW multiplied by the model-axis size on a
+    ``(data, model)`` mesh (caught by ``tests/test_multidevice_equivalence``).
+    This wrapper computes both cotangents with *primal-style* ops the
+    partitioner handles correctly: dx as a forward grouped conv of the
+    cotangent with the io-swapped flipped kernel, dW as per-tap sliced MXU
+    contractions (``_dw_slice_matmuls``).
+    """
+    return _conv1d_raw(x, weight, 1, pad, 1, groups)
+
+
+def _grouped_safe_fwd(x, weight, pad, groups):
+    return grouped_conv1d_spmd_safe(x, weight, pad, groups), (x, weight)
+
+
+def _grouped_safe_bwd(pad, groups, res, g):
+    x, weight = res
+    k, cin_pg, cout = weight.shape
+    copg = cout // groups
+    wg = jnp.flip(weight, axis=0).reshape(k, cin_pg, groups, copg)
+    w_dx = jnp.transpose(wg, (0, 3, 2, 1)).reshape(k, copg, groups * cin_pg)
+    dx = _conv1d_raw(
+        g.astype(x.dtype), w_dx.astype(x.dtype), 1,
+        (k - 1 - pad[0], k - 1 - pad[1]), 1, groups,
+    )
+    dw = _dw_slice_matmuls(x, g, k, 1, pad[0], groups, weight.dtype)
+    return dx, dw
+
+
+grouped_conv1d_spmd_safe.defvjp(_grouped_safe_fwd, _grouped_safe_bwd)
 
 
 def conv_transpose1d(

@@ -61,6 +61,10 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     Batches whose leading axis does not divide the (local) data axis (e.g.
     the reference's batch-size-1 eval loaders — ``bwe.py:177,209``) fall
     back to replication: correct everywhere, redundant compute on eval only.
+    In multi-process runs the per-host loader shards differ, so the fallback
+    first allgathers the host batches (concatenated on the leading axis) and
+    replicates the *global* view — replicating each host's own rows would
+    silently mark divergent arrays as identical.
     """
     data_size = mesh.shape["data"]
     multiproc = jax.process_count() > 1
@@ -74,6 +78,22 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
             spec = P()
         sharding = NamedSharding(mesh, spec)
         if multiproc:
+            if spec == P():
+                from jax.experimental import multihost_utils
+
+                gathered = multihost_utils.process_allgather(np.asarray(x))
+                if np.ndim(x) >= 1:
+                    # per-host rows differ: the global batch is their
+                    # concatenation (allgather stacks on a new axis 0)
+                    x = np.concatenate(list(gathered), axis=0)
+                else:
+                    first = gathered[0]
+                    if not np.all([np.array_equal(g, first) for g in gathered]):
+                        raise ValueError(
+                            "replicated batch leaf differs across processes"
+                        )
+                    x = first
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 

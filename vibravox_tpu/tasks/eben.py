@@ -80,6 +80,14 @@ class EBENTask:
     # gradient-norm tracking (the reference's commented ``track_grad_norm``
     # trainer knob): 2 logs the global L2 grad norm per network, -1 disables
     track_grad_norm: int = -1
+    # optax.flatten the injected optimizers (single fused update over one
+    # concatenated vector; saves ~13 ms/step of per-leaf dispatch on TPU).
+    # EXACT ONLY FOR ELEMENTWISE TRANSFORMS (adam/sgd/adamw/clip...): set
+    # False for optimizers that read per-leaf structure (optax.masked,
+    # multi_transform, per-layer schedules).  Toggling changes the opt-state
+    # pytree layout, so checkpoints written under one setting do not restore
+    # under the other.
+    flatten_optimizer: bool = True
     # mixed precision: network compute dtype for training ("bfloat16" is
     # essential on TPU, where f32 matmul paths are software-emulated — but
     # bf16 is itself emulated on CPU, so the default is None and the TPU
@@ -100,8 +108,11 @@ class EBENTask:
                 opt = optax.MultiSteps(opt, every_k_schedule=self.accumulate_grad_batches)
             # flatten: run the update on ONE concatenated vector instead of
             # ~200 per-layer leaves — the per-leaf op soup cost ~13 ms/step
-            # of pure dispatch/fusion overhead on this backend (profiled)
-            setattr(self, attr, optax.flatten(opt))
+            # of pure dispatch/fusion overhead on this backend (profiled);
+            # see the flatten_optimizer field for the exactness constraint
+            if self.flatten_optimizer:
+                opt = optax.flatten(opt)
+            setattr(self, attr, opt)
         from vibravox_tpu.tasks.se_metrics import SEMetrics
 
         self._se_metrics = SEMetrics(self.sample_rate)
@@ -231,6 +242,16 @@ class EBENTask:
         decomposed_reference: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """λ_i = clip(1/(‖∂L_i/∂W_last‖ + 1e-4), 0, 1e4) with optional EMA.
+
+        **TEST/ABLATION ORACLE ONLY — not called by ``train_step``.**  The
+        production path computes the same lambdas inside ``train_step``'s
+        fused shared-linearization block (one vjp per loss + tail-only
+        transpose).  This method is the naive per-loss ``jax.grad``
+        formulation kept as the independent oracle;
+        ``tests/test_eben_task.py`` (fused-vs-naive equivalence) and
+        ``tests/test_parity_torch.py`` (torch-autograd λ parity) pin the two
+        against each other — edit one without the other and those tests are
+        the tripwire.
 
         The jacobian is taken through the generator tail only: W_last only
         reaches the losses via tail → discriminator, so this equals the

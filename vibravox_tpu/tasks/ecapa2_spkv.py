@@ -38,6 +38,10 @@ class SPKVTask:
     embedder: Any  # flax module: (B, T) waveform -> (B, D) embedding
     sample_rate: int = 16_000
     params: Optional[Any] = None  # pretrained/converted weights
+    # torch state-dict file (converter layout of models/ecapa2.py); defaults
+    # to $VIBRAVOX_ECAPA2_CKPT — the reference's pretrained-embedder slot
+    # (ecapa2.py:38-40 loads the Jenthe/ECAPA2 archive)
+    checkpoint_path: Optional[str] = None
     mindcf_p_target: float = 0.05
     mindcf_c_fa: float = 1.0
     mindcf_c_fr: float = 1.0
@@ -50,8 +54,29 @@ class SPKVTask:
 
     # ------------------------------------------------------------------ #
 
+    def _load_checkpoint_params(self) -> Optional[Any]:
+        import os
+
+        path = self.checkpoint_path or os.environ.get("VIBRAVOX_ECAPA2_CKPT")
+        if not path:
+            return None
+        import torch
+
+        from vibravox_tpu.models.ecapa2 import ecapa2_params_from_torchscript
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        sd = {k: np.asarray(v) for k, v in obj.items()}
+        config = getattr(self.embedder, "config", None)
+        kwargs = {"config": config} if config is not None else {}
+        return jax.tree_util.tree_map(jnp.asarray,
+                                      ecapa2_params_from_torchscript(sd, **kwargs))
+
     def init_state(self, rng: jax.Array, example_batch: Dict) -> SPKVState:
         params = self.params
+        if params is None:
+            params = self._load_checkpoint_params()
         if params is None:
             t = example_batch["sensor_a"]["audio"].shape[-1] if "sensor_a" in example_batch else 16000
             params = self.embedder.init(rng, jnp.zeros((1, int(t))))

@@ -39,10 +39,19 @@ class Wav2Vec2STPTask:
     description: Optional[str] = None
     tokenizer: Any = None  # wired by run.py / trainer from the datamodule
     accumulate_grad_batches: int = 1
+    # optax.flatten the injected optimizer — exact only for elementwise
+    # transforms; flips the opt-state checkpoint layout (see
+    # tasks/eben.py::flatten_optimizer for the full constraint)
+    flatten_optimizer: bool = True
+    # mixed precision: rebuild the model with a bf16 compute path (f32
+    # master params; losses f32) — the trainer's ``precision`` knob sets this
+    compute_dtype: "str | None" = None
 
     def __post_init__(self):
         if not hasattr(self.wav2vec2_for_ctc, "config") and callable(self.wav2vec2_for_ctc):
             self.wav2vec2_for_ctc = self.wav2vec2_for_ctc()
+        if self.compute_dtype is not None:
+            self.set_compute_dtype(self.compute_dtype)
         if not hasattr(self.optimizer, "init") and callable(self.optimizer):
             self.optimizer = self.optimizer()
         if self.accumulate_grad_batches > 1:
@@ -50,8 +59,21 @@ class Wav2Vec2STPTask:
                 self.optimizer, every_k_schedule=self.accumulate_grad_batches
             )
         # single-flat-vector update (see eben.py: per-leaf op soup overhead)
-        self.optimizer = optax.flatten(self.optimizer)
+        if self.flatten_optimizer:
+            self.optimizer = optax.flatten(self.optimizer)
         self.blank_id = int(self.wav2vec2_for_ctc.config.pad_token_id)
+
+    def set_compute_dtype(self, dtype: "str | None") -> None:
+        """Rebuild the flax module with the given compute dtype (the
+        trainer's ``precision`` knob routes here before compilation)."""
+        import dataclasses as _dc
+
+        from vibravox_tpu.models.wav2vec2 import Wav2Vec2ForCTCModule
+
+        self.compute_dtype = dtype
+        cfg = _dc.replace(self.wav2vec2_for_ctc.config, compute_dtype=dtype)
+        self.wav2vec2_for_ctc.config = cfg
+        self.wav2vec2_for_ctc.module = Wav2Vec2ForCTCModule(cfg)
 
     # ------------------------------------------------------------------ #
 
