@@ -372,6 +372,12 @@ def residual_stack(
     c = x.shape[-1]
     t = x.shape[1]
     if not _use_pallas() or t < 4 * _EDGE_W or c % 8 != 0:
+        # space-to-depth packed path (dense 128-lane convs) when the shape
+        # allows; plain XLA convs otherwise — see ops/packed_residual.py
+        from vibravox_tpu.ops.packed_residual import can_pack, packed_residual_stack
+
+        if can_pack(t, c):
+            return packed_residual_stack(x, kernels, dilations, slope)
         return _plain_stack(x, kernels, dilations, slope)
 
     # Pallas path: stacked (3C, C) tap matrices, f32 masters cast to compute
