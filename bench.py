@@ -170,7 +170,64 @@ def _bench_mimi(batch_size):
     return "mimi_regressive_train_throughput", dp, state, batch, batch_size * t / 24000
 
 
-_TASKS = {"eben": (_bench_eben, 128), "stp": (_bench_stp, 8), "mimi": (_bench_mimi, 16)}
+def _bench_serve(batch_size):
+    """Serving latency/throughput: returns a sentinel tuple — handled
+    specially in main() (request/response path, not train-step timing)."""
+    return ("serve", batch_size)
+
+
+_TASKS = {
+    "eben": (_bench_eben, 128),
+    "stp": (_bench_stp, 8),
+    "mimi": (_bench_mimi, 16),
+    "serve": (_bench_serve, 8),
+}
+
+
+def _run_serve(batch_size) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vibravox_tpu.models.eben_generator import EBENGenerator
+    from vibravox_tpu.serving import EnhanceServer
+
+    model = EBENGenerator(m=4, n=32, p=2)
+    t0 = model.valid_length(16000)
+    params = model.init(jax.random.key(0), jnp.zeros((1, t0, 1)))
+    server = EnhanceServer(
+        model, params, max_batch=batch_size, max_delay_ms=2.0,
+        bucket_seconds=(1.0,), compute_dtype="bfloat16",
+    )
+    server.warmup()
+    rng = np.random.default_rng(0)
+    n_requests = 64
+    t_start = time.perf_counter()
+    futs = [
+        server.submit(rng.standard_normal(server.buckets[0]).astype(np.float32) * 0.1)
+        for _ in range(n_requests)
+    ]
+    for f in futs:
+        f.result(timeout=300)
+    wall = time.perf_counter() - t_start
+    stats = server.stats()
+    server.close()
+    print(
+        json.dumps(
+            {
+                "metric": "eben_serving_latency_p50",
+                "value": round(stats["latency_p50_ms"], 3),
+                "unit": "ms",
+                "vs_baseline": None,
+                "mfu": None,
+                "extra": {
+                    "p95_ms": round(stats["latency_p95_ms"], 3),
+                    "audio_sec_per_sec": round(stats["audio_seconds"] / wall, 3),
+                    "requests": n_requests,
+                },
+            }
+        )
+    )
 
 
 def main(argv=None) -> None:
@@ -188,6 +245,9 @@ def main(argv=None) -> None:
 
     build, default_batch = _TASKS[args.task]
     batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", str(default_batch)))
+    if args.task == "serve":
+        _run_serve(batch_size)
+        return
     metric, dp, state, batch, audio_seconds = build(batch_size)
 
     n_chips = jax.device_count()
