@@ -193,6 +193,31 @@ class TestFusedGeneratorStepEquivalence:
             np.asarray(new_state.atomic_norms_ema), np.asarray(norms), rtol=1e-5
         )
 
+    def test_vmapped_disc_backward_matches_per_loss(self, batch, monkeypatch):
+        """VIBRAVOX_VMAP_DISC=1 (one batched disc-input backward for the fm +
+        adv losses) must produce the same updated params as the per-loss
+        formulation."""
+        import os
+
+        task = make_task(dynamic_loss_balancing="ema",
+                         generator_optimizer=optax.sgd(1e-2),
+                         discriminator_optimizer=optax.sgd(1e-2))
+        state = task.init_state(jax.random.key(0), batch)
+
+        monkeypatch.setenv("VIBRAVOX_VMAP_DISC", "0")
+        s_ref, logs_ref = jax.jit(task.train_step)(state, batch)
+        monkeypatch.setenv("VIBRAVOX_VMAP_DISC", "1")
+        s_vm, logs_vm = jax.jit(task.train_step)(state, batch)
+
+        for a, b in zip(jax.tree_util.tree_leaves(s_ref.gen_params),
+                        jax.tree_util.tree_leaves(s_vm.gen_params)):
+            tol = max(1e-7, 1e-4 * float(np.max(np.abs(np.asarray(a)))))
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=tol)
+        for k in logs_ref:
+            np.testing.assert_allclose(
+                float(logs_vm[k]), float(logs_ref[k]), rtol=1e-4, atol=1e-6
+            )
+
 
 class TestTrainerKnobs:
     def test_track_grad_norm_logs(self, batch):

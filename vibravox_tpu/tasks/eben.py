@@ -216,14 +216,24 @@ class EBENTask:
         (ref ``eben.py:212-219``)."""
         if self.adversarial_loss_fn is None:
             return {}
-        enhanced_emb = self.discriminator.apply(
+        # ONE discriminator pass over [reference ‖ enhanced] on the batch
+        # axis instead of two: exact (convs are batch-parallel), halves the
+        # op count, and — the real win on this backend — every dW in the
+        # backward is computed once over 2B rows instead of twice over B
+        # (the small-channel dW reductions are the disc-grad outliers).
+        # The gen-side losses intentionally do NOT batch this way: there the
+        # reference branch carries a zero cotangent that XLA dead-code
+        # eliminates, which batching would forfeit.
+        b = reference.shape[0]
+        both_emb = self.discriminator.apply(
             disc_params,
-            jax.lax.stop_gradient(decomposed_enhanced),
-            jax.lax.stop_gradient(enhanced),
+            jnp.concatenate(
+                [decomposed_reference, jax.lax.stop_gradient(decomposed_enhanced)], axis=0
+            ),
+            jnp.concatenate([reference, jax.lax.stop_gradient(enhanced)], axis=0),
         )
-        reference_emb = self.discriminator.apply(
-            disc_params, decomposed_reference, reference
-        )
+        reference_emb = jax.tree_util.tree_map(lambda x: x[:b], both_emb)
+        enhanced_emb = jax.tree_util.tree_map(lambda x: x[b:], both_emb)
         return {
             "real_loss": self.adversarial_loss_fn(reference_emb, 1),
             "fake_loss": self.adversarial_loss_fn(enhanced_emb, -1),
@@ -345,20 +355,57 @@ class EBENTask:
             )
 
         gen_atomic = losses_from_outputs(enhanced, decomposed)
-        # one vjp per loss: each backward traverses only its own loss graph
-        # (jit DCEs the other losses' forwards out of the trace; XLA CSE
-        # shares the surviving forwards with gen_atomic above)
+        import os as _os
+
         one = jnp.ones((), jnp.float32)
         loss_vals = []
         cotangents = []  # per loss: (d_enhanced, d_decomposed)
-        for name in names:
-            val, vjp_n = jax.vjp(
-                lambda e, d, n=name: losses_from_outputs(e, d)[n].astype(jnp.float32),
-                enhanced,
-                decomposed,
-            )
-            loss_vals.append(val)
-            cotangents.append(vjp_n(one))
+        disc_loss_set = {"feature_matching_loss", "adv_loss_gen"}
+        vmap_disc = (
+            _os.environ.get("VIBRAVOX_VMAP_DISC", "0") == "1"
+            and sum(n in disc_loss_set for n in names) == 2
+        )
+        if vmap_disc:
+            # ONE batched discriminator-input backward for the two
+            # disc-dependent losses: vjp application is linear, so vmapping
+            # the combined vjp over the 2x2 identity runs a single 2-row
+            # backward program instead of two duplicated op sets (the same
+            # trick as the batched tail transpose below)
+            d_names = [n for n in names if n in disc_loss_set]
+
+            def disc_losses(e, d):
+                out = losses_from_outputs(e, d)
+                return jnp.stack([out[n].astype(jnp.float32) for n in d_names])
+
+            d_vals, d_vjp = jax.vjp(disc_losses, enhanced, decomposed)
+            d_cts = jax.vmap(d_vjp)(jnp.eye(len(d_names), dtype=jnp.float32))
+            d_map = {
+                n: (d_cts[0][i], d_cts[1][i]) for i, n in enumerate(d_names)
+            }
+            for name in names:
+                if name in d_map:
+                    loss_vals.append(d_vals[d_names.index(name)])
+                    cotangents.append(d_map[name])
+                else:
+                    val, vjp_n = jax.vjp(
+                        lambda e, d, n=name: losses_from_outputs(e, d)[n].astype(jnp.float32),
+                        enhanced,
+                        decomposed,
+                    )
+                    loss_vals.append(val)
+                    cotangents.append(vjp_n(one))
+        else:
+            # one vjp per loss: each backward traverses only its own loss
+            # graph (jit DCEs the other losses' forwards out of the trace;
+            # XLA CSE shares the surviving forwards with gen_atomic above)
+            for name in names:
+                val, vjp_n = jax.vjp(
+                    lambda e, d, n=name: losses_from_outputs(e, d)[n].astype(jnp.float32),
+                    enhanced,
+                    decomposed,
+                )
+                loss_vals.append(val)
+                cotangents.append(vjp_n(one))
 
         if self.dynamic_loss_balancing is not None:
             features, first_bands = self.generator.apply(
