@@ -97,6 +97,7 @@ def _bench_eben(batch_size):
         adversarial_loss_fn=HingeLoss(),
         dynamic_loss_balancing="ema",
         compute_dtype="bfloat16",
+        flatten_optimizer=os.environ.get("VIBRAVOX_FLATTEN_OPT", "1") == "1",
     )
     t_samples = task.generator.valid_length(int(seconds * sample_rate))
     rng = np.random.default_rng(0)

@@ -376,7 +376,7 @@ def residual_stack(
         # allows; plain XLA convs otherwise — see ops/packed_residual.py
         from vibravox_tpu.ops.packed_residual import can_pack, packed_residual_stack
 
-        if can_pack(t, c):
+        if can_pack(t, c, b=x.shape[0]):
             return packed_residual_stack(x, kernels, dilations, slope)
         return _plain_stack(x, kernels, dilations, slope)
 

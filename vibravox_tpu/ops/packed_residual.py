@@ -33,7 +33,7 @@ plain path in ``tests/test_packed_residual.py``.
 from __future__ import annotations
 
 import os
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
@@ -59,8 +59,15 @@ def _plain_stack(x, kernels, dilations, slope):
     return x
 
 
-def can_pack(t: int, c: int, lanes: int = 128) -> bool:
+def can_pack(t: int, c: int, lanes: int = 128, b: Optional[int] = None) -> bool:
+    """Shape admissibility + profitability.  The batch bound mirrors the
+    measured crossover on the v5e: packing wins while the step is
+    op-count-bound (batch-32 GAN step +19%) and turns slightly negative once
+    the batch is large enough that the stacks are compute/HBM-bound
+    (batch 128: −1%)."""
     p = lanes // c if c and lanes % c == 0 else 0
+    if b is not None and b > 64:
+        return False
     return p >= 2 and t % p == 0 and t >= 4 * _EDGE_W
 
 
@@ -99,14 +106,13 @@ def _pack_pointwise(wp: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 def _enabled() -> bool:
-    # opt-in: measured round 3 on the v5e (batch-32 GAN step): packed 640.6
-    # vs plain 636.0 audio-s/s — inside the ±3 ms/step noise band.  The
-    # 4x-dense matmuls don't buy wall-clock here (the stacks' conv time is
-    # not lane-fill-bound on this backend), and the extra dense FLOPs would
-    # inflate the cost-analysis MFU number dishonestly.  Kept correctness-
-    # pinned (tests/test_packed_residual.py) for backends where lane fill
-    # binds.
-    return os.environ.get("VIBRAVOX_PACKED_RU", "0") == "1"
+    # default ON: measured round 3 on the v5e at the batch-32 GAN recipe
+    # (batched-disc + per-leaf adam step): packed 683 vs plain 574
+    # audio-s/s (+19%).  An earlier neutral reading (640.6 vs 636.0) was
+    # confounded by the optax.flatten relayout copies masking the gain.
+    # Note the packed kernels' dense zero blocks add counted-but-useless
+    # FLOPs, so cost-analysis MFU overstates with this path on.
+    return os.environ.get("VIBRAVOX_PACKED_RU", "1") == "1"
 
 
 def packed_residual_stack(
@@ -120,7 +126,7 @@ def packed_residual_stack(
     docstring).  Falls back to the plain path when packing doesn't apply."""
     dilations = tuple(int(d) for d in dilations)
     b, t, c = x.shape
-    if not _enabled() or not can_pack(t, c, lanes):
+    if not _enabled() or not can_pack(t, c, lanes, b):
         return _plain_stack(x, kernels, dilations, slope)
     p = lanes // c
 

@@ -81,13 +81,14 @@ class EBENTask:
     # trainer knob): 2 logs the global L2 grad norm per network, -1 disables
     track_grad_norm: int = -1
     # optax.flatten the injected optimizers (single fused update over one
-    # concatenated vector; saves ~13 ms/step of per-leaf dispatch on TPU).
-    # EXACT ONLY FOR ELEMENTWISE TRANSFORMS (adam/sgd/adamw/clip...): set
-    # False for optimizers that read per-leaf structure (optax.masked,
-    # multi_transform, per-layer schedules).  Toggling changes the opt-state
-    # pytree layout, so checkpoints written under one setting do not restore
-    # under the other.
-    flatten_optimizer: bool = True
+    # concatenated vector).  Default OFF since round 3: the flat<->tiled
+    # relayout copies of the 23M-param discriminator cost more than the
+    # per-leaf op soup they replace (measured: batch-32 GAN step 683
+    # audio-s/s per-leaf vs 640 flattened).  When enabled it is EXACT ONLY
+    # FOR ELEMENTWISE TRANSFORMS (adam/sgd/adamw/clip...), and toggling
+    # changes the opt-state pytree layout, so checkpoints written under one
+    # setting do not restore under the other.
+    flatten_optimizer: bool = False
     # mixed precision: network compute dtype for training ("bfloat16" is
     # essential on TPU, where f32 matmul paths are software-emulated — but
     # bf16 is itself emulated on CPU, so the default is None and the TPU
@@ -220,20 +221,34 @@ class EBENTask:
         # axis instead of two: exact (convs are batch-parallel), halves the
         # op count, and — the real win on this backend — every dW in the
         # backward is computed once over 2B rows instead of twice over B
-        # (the small-channel dW reductions are the disc-grad outliers).
-        # The gen-side losses intentionally do NOT batch this way: there the
-        # reference branch carries a zero cotangent that XLA dead-code
-        # eliminates, which batching would forfeit.
+        # (the small-channel dW reductions are the disc-grad outliers;
+        # measured: disc grad 58.4 -> 41.7 ms at batch 32).  Only while the
+        # step is op-count-bound: past B=64 the 2B-row activations hit the
+        # HBM-pressure cliff (the same one round 2 measured at batch 256),
+        # so large batches keep two B-row passes.  The gen-side losses never
+        # batch this way: there the reference branch carries a zero
+        # cotangent that XLA dead-code eliminates, which batching would
+        # forfeit.
         b = reference.shape[0]
-        both_emb = self.discriminator.apply(
-            disc_params,
-            jnp.concatenate(
-                [decomposed_reference, jax.lax.stop_gradient(decomposed_enhanced)], axis=0
-            ),
-            jnp.concatenate([reference, jax.lax.stop_gradient(enhanced)], axis=0),
-        )
-        reference_emb = jax.tree_util.tree_map(lambda x: x[:b], both_emb)
-        enhanced_emb = jax.tree_util.tree_map(lambda x: x[b:], both_emb)
+        if b <= 64:
+            both_emb = self.discriminator.apply(
+                disc_params,
+                jnp.concatenate(
+                    [decomposed_reference, jax.lax.stop_gradient(decomposed_enhanced)], axis=0
+                ),
+                jnp.concatenate([reference, jax.lax.stop_gradient(enhanced)], axis=0),
+            )
+            reference_emb = jax.tree_util.tree_map(lambda x: x[:b], both_emb)
+            enhanced_emb = jax.tree_util.tree_map(lambda x: x[b:], both_emb)
+        else:
+            enhanced_emb = self.discriminator.apply(
+                disc_params,
+                jax.lax.stop_gradient(decomposed_enhanced),
+                jax.lax.stop_gradient(enhanced),
+            )
+            reference_emb = self.discriminator.apply(
+                disc_params, decomposed_reference, reference
+            )
         return {
             "real_loss": self.adversarial_loss_fn(reference_emb, 1),
             "fake_loss": self.adversarial_loss_fn(enhanced_emb, -1),

@@ -40,9 +40,9 @@ class Wav2Vec2STPTask:
     tokenizer: Any = None  # wired by run.py / trainer from the datamodule
     accumulate_grad_batches: int = 1
     # optax.flatten the injected optimizer — exact only for elementwise
-    # transforms; flips the opt-state checkpoint layout (see
-    # tasks/eben.py::flatten_optimizer for the full constraint)
-    flatten_optimizer: bool = True
+    # transforms; flips the opt-state checkpoint layout; default OFF since
+    # round 3 (see tasks/eben.py::flatten_optimizer for the measurement)
+    flatten_optimizer: bool = False
     # mixed precision: rebuild the model with a bf16 compute path (f32
     # master params; losses f32) — the trainer's ``precision`` knob sets this
     compute_dtype: "str | None" = None
