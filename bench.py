@@ -26,17 +26,49 @@ from pathlib import Path
 V5E_BF16_PEAK = 197e12
 
 
-def _measure(dp, state, batch, n_steps=10, warmup=3):
+def _measure(dp, state, batch, n_steps=20, warmup=3):
+    """Step timing that cross-checks itself against tunnel misbehaviour.
+
+    Two measurements: (a) *serialized* — one loss-scalar readback per step
+    (queue depth 1; provably executes every step, but folds the ~50 ms
+    tunnel round trip into each one); (b) *pipelined* — steps queued with a
+    single sync at the end (how a real input pipeline runs, and how all
+    prior rounds measured).  The axon tunnel sometimes DROPS deeply queued
+    dependent work (observed: 50 queued wav2vec2 steps = same wall time as
+    10, then the readback raises InvalidArgument), which makes (b) absurdly
+    fast.  So (b) is trusted only when it is within 4x of (a) — the round
+    trip can legitimately dominate a short step — otherwise the serialized
+    number is reported.  Returns (dt_seconds, state, timing_mode).
+    """
     import jax
 
     for _ in range(warmup):
         state, logs = dp.train_step(state, batch)
-    jax.block_until_ready(state)
+        float(next(iter(logs.values())))
+
     t0 = time.perf_counter()
+    s = state
     for _ in range(n_steps):
-        state, logs = dp.train_step(state, batch)
-    jax.block_until_ready(state)
-    return (time.perf_counter() - t0) / n_steps, state
+        s, logs = dp.train_step(s, batch)
+        float(next(iter(logs.values())))
+    dt_serial = (time.perf_counter() - t0) / n_steps
+    state = s
+
+    dt = dt_serial
+    mode = "serialized"
+    try:
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(n_steps):
+            s, logs = dp.train_step(s, batch)
+        float(next(iter(logs.values())))  # surfaces dropped/corrupted work
+        jax.block_until_ready(s)
+        dt_pipe = (time.perf_counter() - t0) / n_steps
+        if dt_pipe >= dt_serial / 4:
+            dt, mode, state = dt_pipe, "pipelined", s
+    except Exception:
+        pass  # corrupted queue: keep the serialized number
+    return dt, state, mode
 
 
 def _step_flops(dp, state, batch):
@@ -252,7 +284,7 @@ def main(argv=None) -> None:
     metric, dp, state, batch, audio_seconds = build(batch_size)
 
     n_chips = jax.device_count()
-    dt, state = _measure(dp, state, batch)
+    dt, state, timing_mode = _measure(dp, state, batch)
     throughput = audio_seconds / dt / n_chips
 
     flops = _step_flops(dp, state, batch)
@@ -274,6 +306,7 @@ def main(argv=None) -> None:
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
                 "mfu": round(mfu, 4) if mfu else None,
+                "timing": timing_mode,
             }
         )
     )

@@ -158,8 +158,16 @@ class DataParallel:
     def init_state(self, rng: jax.Array, example_batch: Any):
         arrays, _ = self.split_batch(example_batch)
         # jit the whole init: eager op-by-op init is pathologically slow on
-        # remote-compile TPU backends, and jit also dedupes the RNG work
-        state = jax.jit(self.task.init_state)(rng, arrays)
+        # remote-compile TPU backends, and jit also dedupes the RNG work.
+        # Tasks built around pretrained weights expose init_state_with_params
+        # so the weights enter the jit as ARGUMENTS — jitting a closure over
+        # ~100M params embeds them as program constants, which overflows
+        # remote-compile transports (HTTP 413 on the axon tunnel).
+        init_with = getattr(self.task, "init_state_with_params", None)
+        if init_with is not None:
+            state = jax.jit(init_with)(rng, arrays, self.task.initial_params())
+        else:
+            state = jax.jit(self.task.init_state)(rng, arrays)
         return replicate(self.mesh, state)
 
     def train_step(self, state, batch):

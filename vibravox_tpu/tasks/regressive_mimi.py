@@ -33,6 +33,11 @@ class MimiTrainState(flax.struct.PyTreeNode):
     params: Any  # trainable mimi params (full tree; only prefixes update)
     opt_state: Any
     rng: jax.Array
+    # frozen copy of the *encoder-side* pretrained params (the regressive
+    # target's whole dependency — ref regressive_mimi.py:24-38).  Lives in
+    # the state rather than as a jit-captured constant: embedding ~80M f32
+    # constants in the program overflows remote-compile transports
+    frozen_params: Any = None
 
 
 @dataclasses.dataclass
@@ -79,14 +84,32 @@ class RegressiveMimiTask:
         target = self.mimi.valid_length(t)
         return jnp.pad(audio, ((0, 0), (0, target - t), (0, 0)))
 
-    def init_state(self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray]) -> MimiTrainState:
-        params = self.mimi.params
+    @staticmethod
+    def _encoder_side(params: Any) -> Any:
+        """Subtree feeding ``encode_to_latent`` (the frozen target path)."""
+        inner = params["params"] if "params" in params else params
+        return {"params": {k: inner[k] for k in inner if any(
+            k.startswith(p) for p in _TRAINABLE_PREFIXES
+        )}}
+
+    def initial_params(self) -> Any:
+        return self.mimi.params
+
+    def init_state_with_params(
+        self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray], params: Any
+    ) -> MimiTrainState:
+        """Init with the pretrained params passed as a jit ARGUMENT — jitting
+        ``init_state`` directly would embed them as program constants."""
         return MimiTrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params),
             rng=rng,
+            frozen_params=self._encoder_side(params),
         )
+
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray]) -> MimiTrainState:
+        return self.init_state_with_params(rng, example_batch, self.mimi.params)
 
     # ------------------------------------------------------------------ #
 
@@ -95,9 +118,10 @@ class RegressiveMimiTask:
     ) -> Tuple[MimiTrainState, Dict[str, jnp.ndarray]]:
         corrupted = self.pad_to_frame(batch["audio_body_conducted"])
         reference = self.pad_to_frame(batch["audio_airborne"])
-        # frozen copy: the *initial* pretrained params held by the task
+        # frozen copy: the *initial* pretrained params, carried in the state
+        frozen = state.frozen_params if state.frozen_params is not None else self.mimi.params
         target_latent = jax.lax.stop_gradient(
-            self.mimi.encode_to_latent(reference, params=self.mimi.params)
+            self.mimi.encode_to_latent(reference, params=frozen)
         )
 
         def loss_fn(params):
@@ -123,7 +147,8 @@ class RegressiveMimiTask:
         if "audio_airborne" in batch:
             reference = self.pad_to_frame(batch["audio_airborne"])
             outputs["reference"] = reference
-            target_latent = self.mimi.encode_to_latent(reference, params=self.mimi.params)
+            frozen = state.frozen_params if state.frozen_params is not None else self.mimi.params
+            target_latent = self.mimi.encode_to_latent(reference, params=frozen)
             outputs["logs"] = {
                 "l1_latent_loss": jnp.mean(jnp.abs(latent - target_latent))
             }

@@ -77,6 +77,22 @@ class Wav2Vec2STPTask:
 
     # ------------------------------------------------------------------ #
 
+    def initial_params(self):
+        return self.wav2vec2_for_ctc.params
+
+    def init_state_with_params(
+        self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray], params
+    ) -> STPTrainState:
+        """Init with pretrained params as a jit ARGUMENT (a jit of
+        ``init_state`` would embed the ~95M-param model as program
+        constants — overflows remote-compile transports)."""
+        return STPTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            rng=rng,
+        )
+
     def init_state(self, rng: jax.Array, example_batch: Dict[str, jnp.ndarray]) -> STPTrainState:
         params = self.wav2vec2_for_ctc.params
         return STPTrainState(
