@@ -36,9 +36,13 @@ def _measure(dp, state, batch, n_steps=20, warmup=3):
     prior rounds measured).  The axon tunnel sometimes DROPS deeply queued
     dependent work (observed: 50 queued wav2vec2 steps = same wall time as
     10, then the readback raises InvalidArgument), which makes (b) absurdly
-    fast.  So (b) is trusted only when it is within 4x of (a) — the round
-    trip can legitimately dominate a short step — otherwise the serialized
-    number is reported.  Returns (dt_seconds, state, timing_mode).
+    fast.  So (b) is trusted only if the state's step counter read back
+    after the sync equals the expected value — every task's ``train_step``
+    increments ``state.step`` once, and the counter chains through the whole
+    queued sequence, so a correct readback proves all n steps executed.
+    A short step can then legitimately beat the serialized number by far
+    more than the tunnel round trip.  Returns (dt_seconds, state,
+    timing_mode).
     """
     import jax
 
@@ -57,6 +61,7 @@ def _measure(dp, state, batch, n_steps=20, warmup=3):
     dt = dt_serial
     mode = "serialized"
     try:
+        step0 = int(jax.device_get(state.step))
         t0 = time.perf_counter()
         s = state
         for _ in range(n_steps):
@@ -64,10 +69,10 @@ def _measure(dp, state, batch, n_steps=20, warmup=3):
         float(next(iter(logs.values())))  # surfaces dropped/corrupted work
         jax.block_until_ready(s)
         dt_pipe = (time.perf_counter() - t0) / n_steps
-        if dt_pipe >= dt_serial / 4:
+        if int(jax.device_get(s.step)) == step0 + n_steps:
             dt, mode, state = dt_pipe, "pipelined", s
     except Exception:
-        pass  # corrupted queue: keep the serialized number
+        pass  # corrupted queue / no step counter: keep the serialized number
     return dt, state, mode
 
 
@@ -188,8 +193,8 @@ def _bench_mimi(batch_size):
     from vibravox_tpu.tasks.regressive_mimi import RegressiveMimiTask
 
     # full-size Mimi codec (24 kHz), encoder-side latent-regression step
-    # (regressive_mimi.py:24-38)
-    mimi = Mimi()
+    # (regressive_mimi.py:24-38); bf16 matmuls (f32 is software-emulated)
+    mimi = Mimi(compute_dtype="bfloat16")
     task = RegressiveMimiTask(mimi=mimi, optimizer=optax.adam(1e-4))
     t = mimi.valid_length(int(2.0 * 24000))
     rng = np.random.default_rng(0)
@@ -209,12 +214,81 @@ def _bench_serve(batch_size):
     return ("serve", batch_size)
 
 
+def _bench_spkv(batch_size):
+    """Sentinel like serve: the SPKV test epoch is inference-only (embed both
+    sides of every trial pair — ref ecapa2.py:88-119), so it is timed as a
+    jitted embedder forward, not a train step."""
+    return ("spkv", batch_size)
+
+
 _TASKS = {
     "eben": (_bench_eben, 128),
     "stp": (_bench_stp, 8),
     "mimi": (_bench_mimi, 16),
     "serve": (_bench_serve, 8),
+    "spkv": (_bench_spkv, 32),
 }
+
+
+def _run_spkv(batch_size) -> None:
+    """ECAPA2 embedding throughput: 3-s 16 kHz utterances through the full
+    embedder (log-mel front-end + fwSE trunk + SE-Res2Net + attentive
+    pooling).  Chained-dependency timing: each batch carries an
+    imperceptible function of the previous embeddings so the tunnel cannot
+    reorder, drop, or hoist steps; one readback at the end validates the
+    chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vibravox_tpu.models.ecapa2 import ECAPA2
+
+    seconds = 3.0
+    t = int(seconds * 16000)
+    model = ECAPA2()
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((batch_size, t)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.key(0), x0)
+
+    @jax.jit
+    def step(x):
+        emb = model.apply(params, x)
+        # non-simplifiable dependency for the next batch (CLAUDE.md timing)
+        return x + jnp.sum(emb) * 1e-30, emb
+
+    x = x0
+    for _ in range(3):  # warmup / compile
+        x, emb = step(x)
+    float(jnp.sum(emb))
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        x, emb = step(x)
+    float(jnp.sum(emb))  # single sync; chain guarantees all steps ran
+    dt = (time.perf_counter() - t0) / n_steps
+
+    n_chips = jax.device_count()
+    mfu = None
+    try:
+        cost = step.lower(x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0))
+        if flops > 0:
+            mfu = flops / dt / (n_chips * V5E_BF16_PEAK)
+    except Exception:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "ecapa2_embed_throughput",
+                "value": round(batch_size * seconds / dt / n_chips, 3),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": None,
+                "mfu": round(mfu, 4) if mfu else None,
+                "timing": "chained",
+            }
+        )
+    )
 
 
 def _run_serve(batch_size) -> None:
@@ -280,6 +354,9 @@ def main(argv=None) -> None:
     batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", str(default_batch)))
     if args.task == "serve":
         _run_serve(batch_size)
+        return
+    if args.task == "spkv":
+        _run_spkv(batch_size)
         return
     metric, dp, state, batch, audio_seconds = build(batch_size)
 

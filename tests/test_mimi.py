@@ -42,6 +42,47 @@ class TestMimiCodec:
         assert mimi.valid_length(1) == mimi.frame_size
         assert mimi.valid_length(mimi.frame_size) == mimi.frame_size
 
+    def test_bf16_compute_path_matches_f32(self, mimi):
+        """compute_dtype="bfloat16" (matmuls/convs bf16, norms + RVQ + API
+        boundary f32) stays close to the f32 forward and emits f32 latents."""
+        import dataclasses
+
+        cfg16 = dataclasses.replace(mimi.config, compute_dtype="bfloat16")
+        mimi16 = Mimi(config=cfg16, params=mimi.params)
+        t = 8 * mimi.frame_size
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, t, 1)).astype(np.float32)
+        )
+        lat32 = mimi.encode_to_latent(x)
+        lat16 = mimi16.encode_to_latent(x)
+        assert lat16.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(lat32))) + 1e-6
+        assert float(jnp.max(jnp.abs(lat16 - lat32))) / scale < 0.1
+        rec16 = mimi16.decode_latent(lat16)
+        assert rec16.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(rec16)))
+
+    def test_bf16_train_step_finite(self, mimi):
+        import dataclasses
+
+        cfg16 = dataclasses.replace(mimi.config, compute_dtype="bfloat16")
+        mimi16 = Mimi(config=cfg16, params=mimi.params)
+        task = RegressiveMimiTask(mimi=mimi16, optimizer=optax.adam(1e-4))
+        t = 4 * mimi16.frame_size
+        rng = np.random.default_rng(2)
+        batch = {
+            "audio_body_conducted": jnp.asarray(
+                rng.standard_normal((2, t, 1)).astype(np.float32) * 0.1
+            ),
+            "audio_airborne": jnp.asarray(
+                rng.standard_normal((2, t, 1)).astype(np.float32) * 0.1
+            ),
+        }
+        state = task.init_state(jax.random.key(0), batch)
+        state, logs = jax.jit(task.train_step)(state, batch)
+        loss = float(logs["train/l1_latent_loss"])
+        assert np.isfinite(loss) and loss > 0
+
 
 class TestMimiHFConverterParity:
     """Converted HF ``MimiModel`` weights must reproduce HF forwards."""

@@ -45,6 +45,10 @@ class MimiConfig:
     rvq_n_q: int = 32
     rvq_codebook_size: int = 2048
     downsample: int = 2  # encoder-side extra stride (25 Hz -> 12.5 Hz)
+    # matmul/conv compute dtype ("bfloat16" on TPU, where f32 matmuls are
+    # software-emulated); params stay f32 masters, layer norms + the RVQ
+    # codebook distances + losses stay f32
+    compute_dtype: Optional[str] = None
 
     @property
     def hop_length(self) -> int:
@@ -69,31 +73,35 @@ class MimiModule(nn.Module):
         cfg = self.config
         self.encoder = SEANetEncoder(
             dimension=cfg.dimension, n_filters=cfg.n_filters, ratios=cfg.ratios,
-            name="encoder",
+            compute_dtype=cfg.compute_dtype, name="encoder",
         )
         self.encoder_transformer = MimiTransformer(
             d_model=cfg.dimension, num_layers=cfg.transformer_layers,
             num_heads=cfg.transformer_heads, dim_feedforward=cfg.transformer_ff,
-            sliding_window=cfg.sliding_window, name="encoder_transformer",
+            sliding_window=cfg.sliding_window, compute_dtype=cfg.compute_dtype,
+            name="encoder_transformer",
         )
         # HF MimiModel: biasless downsample conv; biasless per-channel
         # (groups = hidden) transposed upsample conv
         self.downsample_conv = CausalConv(
             cfg.dimension, 2 * cfg.downsample, stride=cfg.downsample,
-            use_bias=False, pad_mode="replicate", name="downsample",
+            use_bias=False, pad_mode="replicate",
+            compute_dtype=cfg.compute_dtype, name="downsample",
         )
         self.upsample_conv = CausalConvTranspose(
             cfg.dimension, 2 * cfg.downsample, stride=cfg.downsample,
-            groups=cfg.dimension, use_bias=False, name="upsample",
+            groups=cfg.dimension, use_bias=False,
+            compute_dtype=cfg.compute_dtype, name="upsample",
         )
         self.decoder_transformer = MimiTransformer(
             d_model=cfg.dimension, num_layers=cfg.transformer_layers,
             num_heads=cfg.transformer_heads, dim_feedforward=cfg.transformer_ff,
-            sliding_window=cfg.sliding_window, name="decoder_transformer",
+            sliding_window=cfg.sliding_window, compute_dtype=cfg.compute_dtype,
+            name="decoder_transformer",
         )
         self.decoder = SEANetDecoder(
             dimension=cfg.dimension, n_filters=cfg.n_filters, ratios=cfg.ratios,
-            name="decoder",
+            compute_dtype=cfg.compute_dtype, name="decoder",
         )
         self.quantizer = SplitResidualVectorQuantizer(
             dimension=cfg.rvq_dimension, input_dimension=cfg.dimension,
@@ -104,10 +112,11 @@ class MimiModule(nn.Module):
     # ------------------------------------------------------------------ #
 
     def encode_to_latent(self, audio: jnp.ndarray) -> jnp.ndarray:
-        """audio (B, T, 1) -> unquantized latent (B, T/hop, D)."""
+        """audio (B, T, 1) -> unquantized latent (B, T/hop, D), f32 at the
+        boundary regardless of ``compute_dtype`` (losses + RVQ stay f32)."""
         h = self.encoder(audio)
         h = self.encoder_transformer(h)
-        return self.downsample_conv(h)
+        return self.downsample_conv(h).astype(jnp.float32)
 
     def encode(self, audio: jnp.ndarray) -> jnp.ndarray:
         """audio -> RVQ codes (n_q, B, T')."""

@@ -14,7 +14,7 @@ ratios 8/6/5/4, dimension 512, kernel 7, residual kernel 3, compress 2).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -41,6 +41,8 @@ class CausalConv(nn.Module):
     groups: int = 1
     use_bias: bool = True
     pad_mode: str = "zeros"  # "zeros" | "replicate" (HF downsample uses edge)
+    # conv compute dtype ("bfloat16" on TPU); params stay f32 masters
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -50,6 +52,10 @@ class CausalConv(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel_size, in_ch // self.groups, self.features),
         )
+        if self.compute_dtype:
+            dt = jnp.dtype(self.compute_dtype)
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
         k_eff = (self.kernel_size - 1) * self.dilation + 1
         pad_total = k_eff - self.stride
         length = x.shape[1]
@@ -77,6 +83,7 @@ class CausalConvTranspose(nn.Module):
     stride: int = 1
     groups: int = 1
     use_bias: bool = True
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +93,10 @@ class CausalConvTranspose(nn.Module):
             nn.initializers.lecun_normal(),
             (in_ch, self.features // self.groups, self.kernel_size),  # torch layout
         )
+        if self.compute_dtype:
+            dt = jnp.dtype(self.compute_dtype)
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
         y = conv_transpose1d(x, kernel, stride=self.stride, padding=0, groups=self.groups)
         # causal trim: remove the transposed conv's right-side overhang
         # (HF trim_right_ratio=1.0: all of padding_total off the right)
@@ -103,15 +114,17 @@ class SEANetResnetBlock(nn.Module):
     compress: int = 2
     dilation: int = 1
     kernel_size: int = 3
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = self.dim // self.compress
         h = _elu(x)
-        h = CausalConv(hidden, self.kernel_size, dilation=self.dilation, name="conv_0")(h)
+        h = CausalConv(hidden, self.kernel_size, dilation=self.dilation,
+                       compute_dtype=self.compute_dtype, name="conv_0")(h)
         h = _elu(h)
-        h = CausalConv(self.dim, 1, name="conv_1")(h)
-        return x + h
+        h = CausalConv(self.dim, 1, compute_dtype=self.compute_dtype, name="conv_1")(h)
+        return x + h.astype(x.dtype)
 
 
 class SEANetEncoder(nn.Module):
@@ -126,11 +139,14 @@ class SEANetEncoder(nn.Module):
     n_residual_layers: int = 1
     compress: int = 2
     dilation_base: int = 2
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mult = 1
-        h = CausalConv(self.n_filters, self.kernel_size, name="conv_in")(x)
+        cdt = self.compute_dtype
+        h = CausalConv(self.n_filters, self.kernel_size, compute_dtype=cdt,
+                       name="conv_in")(x)
         # downsample with the smallest ratio first (EnCodec ordering)
         for i, ratio in enumerate(reversed(tuple(self.ratios))):
             for j in range(self.n_residual_layers):
@@ -138,16 +154,18 @@ class SEANetEncoder(nn.Module):
                     mult * self.n_filters, self.compress,
                     dilation=self.dilation_base**j,
                     kernel_size=self.residual_kernel_size,
+                    compute_dtype=cdt,
                     name=f"block_{i}_res_{j}",
                 )(h)
             h = _elu(h)
             h = CausalConv(
                 mult * self.n_filters * 2, ratio * 2, stride=ratio,
-                name=f"down_{i}",
+                compute_dtype=cdt, name=f"down_{i}",
             )(h)
             mult *= 2
         h = _elu(h)
-        return CausalConv(self.dimension, self.last_kernel_size, name="conv_out")(h)
+        return CausalConv(self.dimension, self.last_kernel_size, compute_dtype=cdt,
+                          name="conv_out")(h)
 
 
 class SEANetDecoder(nn.Module):
@@ -162,24 +180,30 @@ class SEANetDecoder(nn.Module):
     n_residual_layers: int = 1
     compress: int = 2
     dilation_base: int = 2
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         mult = 2 ** len(tuple(self.ratios))
-        h = CausalConv(mult * self.n_filters, self.kernel_size, name="conv_in")(z)
+        cdt = self.compute_dtype
+        h = CausalConv(mult * self.n_filters, self.kernel_size, compute_dtype=cdt,
+                       name="conv_in")(z)
         for i, ratio in enumerate(tuple(self.ratios)):
             h = _elu(h)
             h = CausalConvTranspose(
                 mult * self.n_filters // 2, ratio * 2, stride=ratio,
-                name=f"up_{i}",
+                compute_dtype=cdt, name=f"up_{i}",
             )(h)
             for j in range(self.n_residual_layers):
                 h = SEANetResnetBlock(
                     mult * self.n_filters // 2, self.compress,
                     dilation=self.dilation_base**j,
                     kernel_size=self.residual_kernel_size,
+                    compute_dtype=cdt,
                     name=f"block_{i}_res_{j}",
                 )(h)
             mult //= 2
         h = _elu(h)
-        return CausalConv(1, self.last_kernel_size, name="conv_out")(h)
+        # final conv back to f32 so the waveform output is full precision
+        h = CausalConv(1, self.last_kernel_size, name="conv_out")(h.astype(jnp.float32))
+        return h
