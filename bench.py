@@ -193,7 +193,9 @@ def _bench_mimi(batch_size):
     from vibravox_tpu.tasks.regressive_mimi import RegressiveMimiTask
 
     # full-size Mimi codec (24 kHz), encoder-side latent-regression step
-    # (regressive_mimi.py:24-38); bf16 matmuls (f32 is software-emulated)
+    # (regressive_mimi.py:24-38); bf16 matmuls (f32 is software-emulated).
+    # Default batch 32 = the reference recipe (the BWE datamodule feeds this
+    # task — configs/lightning_datamodule/bwe.yaml batch_size: 32)
     mimi = Mimi(compute_dtype="bfloat16")
     task = RegressiveMimiTask(mimi=mimi, optimizer=optax.adam(1e-4))
     t = mimi.valid_length(int(2.0 * 24000))
@@ -224,7 +226,7 @@ def _bench_spkv(batch_size):
 _TASKS = {
     "eben": (_bench_eben, 128),
     "stp": (_bench_stp, 8),
-    "mimi": (_bench_mimi, 16),
+    "mimi": (_bench_mimi, 32),
     "serve": (_bench_serve, 8),
     "spkv": (_bench_spkv, 32),
 }
