@@ -101,11 +101,15 @@ class TestFusedResidualStack:
         x = jnp.asarray(rng_np.standard_normal((1, t, 1)).astype(np.float32) * 0.1)
         params = gen.init(jax.random.key(0), x)
         y_plain, _ = gen.apply(params, x)
+        prev = os.environ.get("VIBRAVOX_FUSED_RU")
         os.environ["VIBRAVOX_FUSED_RU"] = "1"
         try:
             y_fused, _ = gen.apply(params, x)
         finally:
-            os.environ["VIBRAVOX_FUSED_RU"] = "0"
+            if prev is None:
+                os.environ.pop("VIBRAVOX_FUSED_RU", None)
+            else:
+                os.environ["VIBRAVOX_FUSED_RU"] = prev
         np.testing.assert_allclose(
             np.asarray(y_fused), np.asarray(y_plain), atol=5e-5
         )

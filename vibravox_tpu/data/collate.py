@@ -55,6 +55,24 @@ def _fix_length(
     return (out, out2) if coupled is not None else out
 
 
+def _fix_length_at(
+    audio: np.ndarray, desired: int, offset: int, coupled: Optional[np.ndarray] = None
+):
+    """`_fix_length` with the crop offset supplied by the caller (numpy twin
+    of the native `vx_collate_pair` row kernel)."""
+    t = audio.shape[-1]
+    if t >= desired:
+        out = audio[..., offset : offset + desired]
+        out2 = coupled[..., offset : offset + desired] if coupled is not None else None
+    else:
+        left = (desired - t) // 2
+        right = desired - t - left
+        pad = [(0, 0)] * (audio.ndim - 1) + [(left, right)]
+        out = np.pad(audio, pad)
+        out2 = np.pad(coupled, pad) if coupled is not None else None
+    return (out, out2) if coupled is not None else out
+
+
 class BWECollate:
     """Collate coupled (body_conducted, airborne) utterances into NWC batches.
 
@@ -80,8 +98,6 @@ class BWECollate:
         self._jax_rng = jax.random.key(seed)
 
     def __call__(self, samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-        bodies: List[np.ndarray] = []
-        airs: List[np.ndarray] = []
         has_reference = "audio_airborne" in samples[0]
 
         if self.constant_samples is not None:
@@ -90,19 +106,52 @@ class BWECollate:
             longest = max(s["audio_body_conducted"].shape[-1] for s in samples)
             target = -(-longest // self.pad_multiple) * self.pad_multiple
 
-        for s in samples:
-            body = np.asarray(s["audio_body_conducted"], dtype=np.float32).reshape(-1)
-            if has_reference:
-                air = np.asarray(s["audio_airborne"], dtype=np.float32).reshape(-1)
-                body, air = _fix_length(body, target, self.rng, self.deterministic, air)
-                airs.append(air)
-            else:
-                body = _fix_length(body, target, self.rng, self.deterministic)
-            bodies.append(body)
+        raw_bodies = [
+            np.asarray(s["audio_body_conducted"], dtype=np.float32).reshape(-1)
+            for s in samples
+        ]
+        raw_airs = (
+            [np.asarray(s["audio_airborne"], dtype=np.float32).reshape(-1) for s in samples]
+            if has_reference
+            else None
+        )
+        # crop offsets drawn here, in sample order, whichever assembly path
+        # runs below — the native and numpy batches are byte-identical
+        offsets = [
+            (
+                ((t - target) // 2)
+                if self.deterministic
+                else int(self.rng.integers(0, t - target + 1))
+            )
+            if (t := b.shape[-1]) >= target
+            else 0
+            for b in raw_bodies
+        ]
 
-        batch = {"audio_body_conducted": np.stack(bodies)}
+        from vibravox_tpu.native import pipeline as native
+
+        if native.native_available():
+            # single-copy batch assembly in the C++ kernel (each utterance is
+            # written once, directly into its batch row, across a thread pool)
+            body_batch, air_batch = native.collate_pair(
+                raw_bodies, raw_airs, offsets, target
+            )
+        else:
+            bodies: List[np.ndarray] = []
+            airs: List[np.ndarray] = []
+            for i, body in enumerate(raw_bodies):
+                if has_reference:
+                    body, air = _fix_length_at(body, target, offsets[i], raw_airs[i])
+                    airs.append(air)
+                else:
+                    body = _fix_length_at(body, target, offsets[i])
+                bodies.append(body)
+            body_batch = np.stack(bodies)
+            air_batch = np.stack(airs) if has_reference else None
+
+        batch = {"audio_body_conducted": body_batch}
         if has_reference:
-            batch["audio_airborne"] = np.stack(airs)
+            batch["audio_airborne"] = air_batch
 
         if self.augmentation is not None and not self.deterministic:
             self._jax_rng, k = jax.random.split(self._jax_rng)

@@ -10,11 +10,16 @@ LIB_PATH = NATIVE_DIR / "libvibravox_native.so"
 
 
 def build(force: bool = False) -> Path:
-    src = NATIVE_DIR / "levenshtein.cpp"
-    if LIB_PATH.exists() and not force and LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+    sources = sorted(NATIVE_DIR.glob("*.cpp"))
+    if (
+        LIB_PATH.exists()
+        and not force
+        and all(LIB_PATH.stat().st_mtime >= s.stat().st_mtime for s in sources)
+    ):
         return LIB_PATH
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", str(LIB_PATH), str(src)],
+        ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", str(LIB_PATH)]
+        + [str(s) for s in sources],
         check=True,
     )
     return LIB_PATH

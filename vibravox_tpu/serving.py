@@ -31,7 +31,7 @@ from typing import Any, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["EnhanceServer"]
+__all__ = ["EnhanceServer", "StreamingEnhancer"]
 
 
 @dataclasses.dataclass
@@ -107,18 +107,51 @@ class EnhanceServer:
             x = self._jnp.zeros((self.max_batch, b, 1), self._jnp.float32)
             jax.block_until_ready(self._enhance(self.params, x))
 
-    def submit(self, audio: np.ndarray) -> Future:
+    def submit(self, audio: np.ndarray, input_sample_rate: Optional[int] = None) -> Future:
         """Enqueue a 1-D waveform; resolves to the enhanced waveform of the
-        same length."""
+        same length.
+
+        ``input_sample_rate`` accepts requests at arbitrary rates: the audio
+        is polyphase-resampled to the model rate on the host (native C++
+        kernel — ``vibravox_tpu/native/pipeline.py``; the device path must
+        not pay an eager per-request dispatch) and the result is resampled
+        back, so callers always get their own rate and length back.
+        """
         if self._closed:
             raise RuntimeError("server is closed")
         audio = np.asarray(audio, np.float32).reshape(-1)
+        in_rate = int(input_sample_rate or self.sample_rate)
+        in_len = len(audio)
+        if in_rate != self.sample_rate:
+            from vibravox_tpu.native.pipeline import host_resample
+
+            audio = host_resample(audio, in_rate, self.sample_rate)
         fut: Future = Future()
-        self._queue.put(_Request(fut, audio, self._bucket_for(len(audio)), time.perf_counter()))
+        if in_rate != self.sample_rate:
+            inner: Future = Future()
+
+            def _back(f: Future):
+                if f.exception() is not None:
+                    fut.set_exception(f.exception())
+                    return
+                from vibravox_tpu.native.pipeline import host_resample
+
+                out = host_resample(f.result(), self.sample_rate, in_rate)
+                if len(out) < in_len:  # ceil-length mismatch at the edge
+                    out = np.pad(out, (0, in_len - len(out)))
+                fut.set_result(out[:in_len])
+
+            inner.add_done_callback(_back)
+            target = inner
+        else:
+            target = fut
+        self._queue.put(
+            _Request(target, audio, self._bucket_for(len(audio)), time.perf_counter())
+        )
         return fut
 
-    def enhance(self, audio: np.ndarray) -> np.ndarray:
-        return self.submit(audio).result()
+    def enhance(self, audio: np.ndarray, input_sample_rate: Optional[int] = None) -> np.ndarray:
+        return self.submit(audio, input_sample_rate=input_sample_rate).result()
 
     def stats(self) -> dict:
         with self._lock:
@@ -187,3 +220,132 @@ class EnhanceServer:
                 self._served += 1
         for row, req in enumerate(group):
             req.future.set_result(out[row, : len(req.audio), 0].copy())
+
+
+class StreamingEnhancer:
+    """Bounded-latency streaming enhancement over an unbounded audio stream.
+
+    The reference's EBEN is offline-only (whole utterances —
+    ``scripts/eben_enhanced_vibravox.py``); live capture needs chunked
+    processing.  The generator is a finite-receptive-field FIR stack (PQMF
+    analysis, strided conv U-Net, PQMF synthesis), so overlap windowing is
+    *exact*: each window covers ``context`` samples either side of the
+    ``chunk`` it emits, and windows start on the model's stride grid
+    (multiples of ``model.multiple``, 256 for m=4) so every downsampling
+    phase matches offline processing.  The FIRST window consumes the signal
+    head directly (no zero pre-pad — conv biases make a zero left context
+    differ from the model's own edge transient) and emits its leading
+    ``context + chunk`` samples, so as long as ``context`` covers the
+    receptive-field radius the streamed output equals the offline forward
+    to float tolerance everywhere EXCEPT the flushed tail, where zeros
+    stand in for future samples the stream never saw (pinned by
+    ``tests/test_serving.py``).
+
+    One window shape → one compiled program.  The first output (of
+    ``context + chunk`` samples) arrives after ``latency_samples =
+    window`` inputs (defaults ≈ 20k samples ≈ 1.28 s @ 16 kHz); the
+    steady-state input→output lag is ``chunk + right_context`` — the m=4
+    generator's receptive field spans several thousand samples through the
+    dilated stacks and latent convs, so a generous default context keeps
+    streaming *exact*; lower ``context`` for lower latency at the cost of
+    window-edge error.
+
+    Usage::
+
+        stream = StreamingEnhancer(model, params)
+        for block in microphone:         # arbitrary block sizes
+            out = stream.push(block)     # enhanced samples as they're ready
+        tail = stream.flush()            # drain with zero right-padding
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        params: Any,
+        chunk: int = 4096,
+        context: int = 8192,
+        compute_dtype: Optional[str] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        multiple = int(model.multiple)
+        if chunk % multiple or context % multiple:
+            raise ValueError(
+                f"chunk and context must be multiples of the model stride grid "
+                f"({multiple}); got chunk={chunk}, context={context}"
+            )
+        self.model = model
+        self.params = params
+        self.chunk = int(chunk)
+        self.context = int(context)
+        # left context and chunk stay on the stride grid (every window start
+        # is ≡ 0 mod `multiple` in stream coordinates, matching offline
+        # phase); the RIGHT context absorbs the model's valid-length
+        # adjustment (valid lengths are ≡ -n mod multiple), shrinking by
+        # n ≤ right_context < context
+        self._window = int(model.valid_length(2 * self.context + self.chunk))
+        self._right_context = self._window - self.context - self.chunk
+        if self._right_context <= 0:
+            raise ValueError("context too small for the model's valid-length grid")
+
+        def _enhance(p, x):
+            if compute_dtype is not None:
+                x = x.astype(jnp.dtype(compute_dtype))
+            enhanced, _ = model.apply(p, x)
+            return enhanced.astype(jnp.float32)
+
+        self._enhance = jax.jit(_enhance)
+        self._jnp = jnp
+        # buffered input not yet consumed; the first window reads the raw
+        # signal head (exact edge semantics), later windows carry `context`
+        # already-emitted samples on their left
+        self._buf = np.zeros(0, np.float32)
+        self._first = True
+        self._pushed = 0
+        self._emitted = 0
+        self._flushed = False
+
+    @property
+    def latency_samples(self) -> int:
+        """Samples buffered before the first output (one full window; the
+        steady-state lag thereafter is ``chunk + right_context``)."""
+        return self._window
+
+    def _emit_ready(self) -> np.ndarray:
+        outs = []
+        while len(self._buf) >= self._window:
+            x = self._jnp.asarray(self._buf[: self._window][None, :, None])
+            y = np.asarray(self._enhance(self.params, x))[0, :, 0]
+            if self._first:
+                outs.append(y[: self.context + self.chunk].copy())
+                self._first = False
+            else:
+                outs.append(y[self.context : self.context + self.chunk].copy())
+            self._buf = self._buf[self.chunk :]
+        out = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        self._emitted += out.size
+        return out
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed captured samples; returns enhanced samples as they complete
+        (possibly empty — output arrives ``latency_samples`` behind input)."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._pushed += samples.size
+        self._buf = np.concatenate([self._buf, samples])
+        return self._emit_ready()
+
+    def flush(self) -> np.ndarray:
+        """End of stream: zero-pad the right context and emit the remainder."""
+        if self._flushed:
+            return np.zeros(0, np.float32)
+        self._flushed = True
+        owed = self._pushed - self._emitted
+        if owed <= 0:
+            return np.zeros(0, np.float32)
+        pad = self._window + self.chunk  # covers any final partial window
+        self._buf = np.concatenate([self._buf, np.zeros(pad, np.float32)])
+        out = self._emit_ready()
+        return out[:owed]
