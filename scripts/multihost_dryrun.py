@@ -35,6 +35,12 @@ def worker(process_id: int, num_processes: int, port: int, devices_per_proc: int
     # axon sitecustomize otherwise hijacks the platform selection)
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_proc} "
+        # raise the CPU-collective hang-detector deadline: emulated devices
+        # on a starved host can take >40 s to reach a rendezvous (see
+        # tests/conftest.py)
+        "--xla_cpu_collective_timeout_seconds=1200 "
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=600 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=1200 "
         + os.environ.get("XLA_FLAGS", "")
     )
     os.environ["JAX_PLATFORMS"] = "cpu"

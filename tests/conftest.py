@@ -9,6 +9,17 @@ code paths run without TPU hardware.  Must run before the first jax import.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# XLA:CPU in-process collectives SIGABRT the process if any participant takes
+# longer than 40 s (default) to reach a rendezvous.  8 emulated devices on a
+# small host legitimately exceed that on big train steps (observed on a
+# 1-core machine: the multi-device equivalence tests abort).  The deadline is
+# a hang detector, not a correctness knob — raise it.
+if "collective" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
