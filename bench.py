@@ -134,7 +134,13 @@ def _bench_eben(batch_size):
         adversarial_loss_fn=HingeLoss(),
         dynamic_loss_balancing="ema",
         compute_dtype="bfloat16",
-        flatten_optimizer=os.environ.get("VIBRAVOX_FLATTEN_OPT", "1") == "1",
+        # batch-regime-dependent (measured r3): optax.flatten wins slightly at
+        # the b128 throughput config (+1.5%) but loses at the b32 recipe
+        # (-6.7%: flat<->tiled relayout copies of the 23M-param disc) — same
+        # crossover as packing/disc batching, so follow the same >64 rule
+        flatten_optimizer=os.environ.get(
+            "VIBRAVOX_FLATTEN_OPT", "1" if batch_size > 64 else "0"
+        ) == "1",
     )
     t_samples = task.generator.valid_length(int(seconds * sample_rate))
     rng = np.random.default_rng(0)
