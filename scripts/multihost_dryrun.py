@@ -50,20 +50,9 @@ def worker(process_id: int, num_processes: int, port: int, devices_per_proc: int
 
     jax.config.update("jax_platforms", "cpu")
 
-    # persistent compilation cache (same dir as tests/conftest.py): the GAN
-    # step is a multi-minute XLA:CPU compile on a starved host — warm runs
-    # (CI re-runs, the second process of a pair) skip it entirely
-    cache_dir = os.environ.get(
-        "VIBRAVOX_TEST_CACHE",
-        os.path.expanduser("~/.cache/vibravox_tpu_xla_cpu_tests"),
-    )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass  # read-only home: compile cold
+    # NOTE: no persistent compilation cache here — XLA:CPU AOT cache loads
+    # fail a machine-feature check on this build (see tests/conftest.py) and
+    # kill the worker; cold-compiling is slow but reliable.
 
     from vibravox_tpu.parallel.distributed import initialize_distributed
 

@@ -26,21 +26,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache for the CPU test mesh: the multi-device
-# equivalence / 2-D-mesh tests compile multi-minute XLA programs on a small
-# host — caching them makes suite RE-runs fast (first run populates).  Same
-# mechanism run.py/bench.py use for the TPU tunnel (core/cache.py), separate
-# dir so test programs never collide with hardware entries.
-_test_cache = os.environ.get(
-    "VIBRAVOX_TEST_CACHE", os.path.expanduser("~/.cache/vibravox_tpu_xla_cpu_tests")
-)
-try:
-    os.makedirs(_test_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _test_cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:
-    pass  # older jax / read-only home: compile cold
+# NOTE: do NOT enable jax's persistent compilation cache for the CPU suite.
+# Measured on this jax/XLA build: CPU AOT cache entries record pseudo machine
+# features (+prefer-no-scatter/+prefer-no-gather) that the load-time host
+# probe doesn't report, so warm LOADS fail ("Machine type used for XLA:CPU
+# compilation doesn't match...") and crash multi-process workers.  The cache
+# stays TPU-only (core/cache.py).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -45,7 +45,7 @@ class TestMultihostDryrun:
             [sys.executable, str(REPO / "scripts" / "multihost_dryrun.py"),
              "--nproc", "2", "--devices-per-proc", "2"],
             # two workers cold-compile the GAN step concurrently on a 1-core
-            # host; warm runs hit the persistent cache and finish in ~2 min
+            # host (~8 min alone, far more under suite contention)
             capture_output=True, text=True, timeout=2400, env=env,
             cwd=str(REPO),
         )
