@@ -38,6 +38,18 @@ def _allclose_trees(a, b, rtol=1e-5, atol=1e-6):
         )
 
 
+def _tp_specs(params):
+    """{trailing (module, param) names -> sharding spec} for every leaf that
+    ended up sharded over the model axis."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec and any(ax == "model" for ax in spec if ax is not None):
+            names = tuple(str(getattr(p, "key", getattr(p, "name", ""))) for p in path)
+            out[names[-2:]] = spec
+    return out
+
+
 def _run_step(task, mesh_cfg, devices, batch, seed=0, steps=2):
     mesh = build_mesh(mesh_cfg, devices)
     dp = DataParallel(task, mesh, donate_state=False)
@@ -114,6 +126,13 @@ class TestMimiEquivalence:
         _allclose_trees(s1.params, s8.params)
         for k in logs1:
             assert logs1[k] == pytest.approx(logs8[k], rel=1e-4, abs=1e-6), k
+        # the bottleneck transformers' projections shard over the model axis
+        # (tasks/regressive_mimi.py TP hook); SEANet convs stay replicated
+        specs = _tp_specs(s8.params)
+        from jax.sharding import PartitionSpec as P
+
+        assert specs[("q_proj", "kernel")] == P(None, "model")
+        assert specs[("linear2", "kernel")] == P("model", None)
 
 
 class TestCTCEquivalence:
@@ -141,6 +160,43 @@ class TestCTCEquivalence:
         # caught a real GSPMD bug in round 3: the grouped positional conv's
         # dW was multiplied by the model-axis size on a (data, model) mesh
         # (fixed by ops/conv.py::grouped_conv1d_spmd_safe).
+        _allclose_trees(s1.params, s8.params, atol=1e-5)
+        for k in logs1:
+            assert logs1[k] == pytest.approx(logs8[k], rel=1e-4, abs=1e-6), k
+
+        # with the model axis >1 the task's TP hook engages: the encoder
+        # projections must be genuinely sharded (Megatron column/row split,
+        # parallel/tp.py), not replicated — and still match the 1-device step
+        specs = _tp_specs(s8.params)
+        from jax.sharding import PartitionSpec as P
+
+        assert specs[("q_proj", "kernel")] == P(None, "model")
+        assert specs[("out_proj", "kernel")] == P("model", None)
+        assert specs[("intermediate_dense", "kernel")] == P(None, "model")
+        assert specs[("output_dense", "kernel")] == P("model", None)
+
+    def test_tp_heavy_mesh_matches_single_device(self, rng_np):
+        """(data=2, model=4): the model axis exceeds the tiny config's head
+        count (2), so GSPMD must reshard inside attention — exercises the
+        non-divisible-heads path of the TP placements."""
+        from vibravox_tpu.models.wav2vec2 import wav2vec2_for_ctc_from_config
+        from vibravox_tpu.tasks.wav2vec2_stp import Wav2Vec2STPTask
+
+        model = wav2vec2_for_ctc_from_config(preset="tiny")
+
+        def make_task():
+            return Wav2Vec2STPTask(
+                wav2vec2_for_ctc=model, optimizer=optax.sgd(1e-3)
+            )
+
+        audio = rng_np.standard_normal((8, 4096)).astype(np.float32)
+        ids = np.full((8, 16), -100, np.int64)
+        ids[:, :5] = rng_np.integers(0, 30, size=(8, 5))
+        batch = {"audio": jnp.asarray(audio), "phonemes_ids": jnp.asarray(ids)}
+
+        devs = jax.devices()
+        s1, logs1 = _run_step(make_task(), MeshConfig(data=1, model=1), devs[:1], batch)
+        s8, logs8 = _run_step(make_task(), MeshConfig(data=2, model=4), devs[:8], batch)
         _allclose_trees(s1.params, s8.params, atol=1e-5)
         for k in logs1:
             assert logs1[k] == pytest.approx(logs8[k], rel=1e-4, abs=1e-6), k

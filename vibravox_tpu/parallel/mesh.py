@@ -126,24 +126,62 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 class DataParallel:
     """Wraps a task's step functions for jit execution over the mesh.
 
-    Parameters/state are replicated; batches are sharded on the 'data' axis.
-    Gradient all-reduces materialize automatically from the sharding
-    propagation (the jit partitioner inserts the ICI collectives), so the
-    task code stays single-device pure — this replaces DDP + ``sync_dist``
-    wholesale.
+    Batches are sharded on the 'data' axis; parameters/state are replicated
+    unless the task declares tensor-parallel placements (a
+    ``partition_spec_for_path(path_names, shape, model_size)`` attribute —
+    see ``parallel/tp.py``), in which case the matching state leaves are
+    sharded over the 'model' axis and the train/eval jits carry the full
+    per-leaf sharding tree.  Gradient all-reduces (and the TP psums)
+    materialize automatically from the sharding propagation — this replaces
+    DDP + ``sync_dist`` wholesale.
     """
 
     def __init__(self, task, mesh: Optional[Mesh] = None, donate_state: bool = True):
         self.task = task
         self.mesh = mesh or build_mesh()
-        state_sharding = NamedSharding(self.mesh, P())
-        self._train_step = jax.jit(
-            task.train_step,
-            in_shardings=(state_sharding, None),
-            out_shardings=(state_sharding, None),
-            donate_argnums=(0,) if donate_state else (),
+        self._donate = donate_state
+        spec_fn = getattr(task, "partition_spec_for_path", None)
+        # TP engages only on single-process meshes with a real model axis:
+        # multi-process param assembly stays replicated (the loader/eval
+        # gather paths assume addressable params), and model=1 makes every
+        # spec P() anyway.
+        self._tp_spec_fn = (
+            spec_fn
+            if spec_fn is not None
+            and self.mesh.shape.get("model", 1) > 1
+            and jax.process_count() == 1
+            else None
         )
-        self._eval_step = jax.jit(task.eval_step, in_shardings=(state_sharding, None))
+        self._jit_steps(NamedSharding(self.mesh, P()))
+
+    def _jit_steps(self, state_shardings: Any) -> None:
+        """(Re)build the jitted steps for a state sharding (a single
+        NamedSharding prefix, or a per-leaf tree under TP)."""
+        self._train_step = jax.jit(
+            self.task.train_step,
+            in_shardings=(state_shardings, None),
+            out_shardings=(state_shardings, None),
+            donate_argnums=(0,) if self._donate else (),
+        )
+        self._eval_step = jax.jit(
+            self.task.eval_step, in_shardings=(state_shardings, None)
+        )
+
+    def _tp_sharding_tree(self, state: Any) -> Any:
+        """Per-leaf NamedSharding tree for the train state: the task's spec
+        hook matched on each leaf's trailing path names.  Optimizer moments
+        shard with their parameters for free — their paths end with the same
+        ``(module, param)`` names."""
+        model = self.mesh.shape["model"]
+
+        def leaf_sharding(path, leaf):
+            names = tuple(
+                str(getattr(p, "key", getattr(p, "name", ""))) for p in path
+            )
+            spec = self._tp_spec_fn(names, tuple(getattr(leaf, "shape", ())), model)
+            return NamedSharding(self.mesh, spec)
+
+        return jax.tree_util.tree_map_with_path(leaf_sharding, state)
 
     @staticmethod
     def split_batch(batch: Any) -> tuple:
@@ -168,6 +206,10 @@ class DataParallel:
             state = jax.jit(init_with)(rng, arrays, self.task.initial_params())
         else:
             state = jax.jit(self.task.init_state)(rng, arrays)
+        if self._tp_spec_fn is not None:
+            shardings = self._tp_sharding_tree(state)
+            self._jit_steps(shardings)
+            return jax.device_put(state, shardings)
         return replicate(self.mesh, state)
 
     def train_step(self, state, batch):

@@ -64,6 +64,15 @@ class RegressiveMimiTask:
 
         self._se_metrics = SEMetrics(self.sample_rate)
 
+    # tensor-parallel placements for the bottleneck transformers' projections
+    # over the mesh's 'model' axis (parallel/tp.py); the SEANet conv trunks
+    # stay replicated (small channel counts)
+    @staticmethod
+    def partition_spec_for_path(path_names, shape, model_size):
+        from vibravox_tpu.parallel.tp import transformer_tp_spec
+
+        return transformer_tp_spec(path_names, shape, model_size)
+
     @staticmethod
     def _param_labels(params):
         flat = flax.traverse_util.flatten_dict(params)

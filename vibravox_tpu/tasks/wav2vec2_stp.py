@@ -63,6 +63,15 @@ class Wav2Vec2STPTask:
             self.optimizer = optax.flatten(self.optimizer)
         self.blank_id = int(self.wav2vec2_for_ctc.config.pad_token_id)
 
+    # tensor-parallel placements for the encoder projections over the mesh's
+    # 'model' axis (Megatron column/row split — parallel/tp.py); applied by
+    # DataParallel when the mesh has a real model axis, no-op otherwise
+    @staticmethod
+    def partition_spec_for_path(path_names, shape, model_size):
+        from vibravox_tpu.parallel.tp import transformer_tp_spec
+
+        return transformer_tp_spec(path_names, shape, model_size)
+
     def set_compute_dtype(self, dtype: "str | None") -> None:
         """Rebuild the flax module with the given compute dtype (the
         trainer's ``precision`` knob routes here before compilation)."""
