@@ -175,6 +175,42 @@ class TestCTCEquivalence:
         assert specs[("intermediate_dense", "kernel")] == P(None, "model")
         assert specs[("output_dense", "kernel")] == P("model", None)
 
+    def test_tp_checkpoint_roundtrip(self, rng_np, tmp_path):
+        """Orbax save/restore of a TP-sharded state: restore targets the
+        live state tree, so the restored leaves must come back with the
+        same model-axis shardings AND values — the resume path a user hits
+        when training with trainer.mesh.model > 1."""
+        from jax.sharding import PartitionSpec as P
+
+        from vibravox_tpu.core.checkpoint import CheckpointManager
+        from vibravox_tpu.models.wav2vec2 import wav2vec2_for_ctc_from_config
+        from vibravox_tpu.tasks.wav2vec2_stp import Wav2Vec2STPTask
+
+        model = wav2vec2_for_ctc_from_config(preset="tiny")
+        task = Wav2Vec2STPTask(wav2vec2_for_ctc=model, optimizer=optax.sgd(1e-3))
+        audio = rng_np.standard_normal((4, 4096)).astype(np.float32)
+        ids = np.full((4, 16), -100, np.int64)
+        ids[:, :5] = rng_np.integers(0, 30, size=(4, 5))
+        batch = {"audio": jnp.asarray(audio), "phonemes_ids": jnp.asarray(ids)}
+
+        mesh = build_mesh(MeshConfig(data=2, model=2), jax.devices()[:4])
+        dp = DataParallel(task, mesh, donate_state=False)
+        state = dp.init_state(jax.random.key(0), batch)
+        state, _ = dp.train_step(state, batch)
+        jax.block_until_ready(state)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), save_last=True)
+        mgr.save(state, step=1)
+
+        fresh = dp.init_state(jax.random.key(7), batch)  # different values
+        restored = mgr.restore(fresh, "last")
+        spec = restored.params["layer_0"]["q_proj"]["kernel"].sharding.spec
+        assert spec == P(None, "model"), spec
+        _allclose_trees(state.params, restored.params, rtol=0, atol=0)
+        # and the restored state steps without resharding errors
+        restored, logs = dp.train_step(restored, batch)
+        assert np.isfinite(float(next(iter(logs.values()))))
+
     def test_tp_heavy_mesh_matches_single_device(self, rng_np):
         """(data=2, model=4): the model axis exceeds the tiny config's head
         count (2), so GSPMD must reshard inside attention — exercises the
