@@ -76,6 +76,15 @@ class Wav2Vec2Config:
     # software-emulated); params stay f32 masters, layer norms accumulate in
     # f32 (flax dtype promotion), CTC loss consumes f32 logits
     compute_dtype: Optional[str] = None
+    # positional-conv backward: the SPMD-safe custom vjp (ops/conv.py)
+    # works around a GSPMD bug that mis-scales the grouped dW on meshes
+    # with a model axis > 1 — but costs ~7.5 ms/step at the STP recipe
+    # batch (measured: 795 vs 1056 audio-s/s single-chip).  Default SAFE;
+    # DataParallel flips it off via the task's configure_for_mesh hook
+    # whenever the mesh's model axis is 1 (the bug multiplies dW by the
+    # model-axis size, so size 1 is exact).  Both paths are numerically
+    # identical — the multi-device equivalence suite crosses them.
+    spmd_safe_pos_conv: bool = True
 
     def feat_extract_output_length(self, input_length: int) -> int:
         for k, s in zip(self.conv_kernel, self.conv_stride):
@@ -159,15 +168,20 @@ class PositionalConvEmbedding(nn.Module):
         bias = self.param("conv_bias", nn.initializers.zeros, (dim,))
         pad = k // 2
         # custom-vjp grouped conv: XLA's grouped kernel-grad transpose is
-        # mis-reduced by GSPMD on (data, model) meshes for this config
-        # (dW x model-axis-size — see ops/conv.py::grouped_conv1d_spmd_safe)
-        from vibravox_tpu.ops.conv import grouped_conv1d_spmd_safe
+        # mis-reduced by GSPMD on (data, model) meshes with model > 1 for
+        # this config (dW x model-axis-size — see
+        # ops/conv.py::grouped_conv1d_spmd_safe); on model==1 meshes the
+        # plain XLA path is exact and ~7.5 ms/step faster (config flag)
+        from vibravox_tpu.ops.conv import _conv1d_raw, grouped_conv1d_spmd_safe
 
         if cfg.compute_dtype:
             dt = jnp.dtype(cfg.compute_dtype)
             h = h.astype(dt)
             kernel = kernel.astype(dt)
-        out = grouped_conv1d_spmd_safe(h, kernel, (pad, pad), groups) + bias
+        if cfg.spmd_safe_pos_conv:
+            out = grouped_conv1d_spmd_safe(h, kernel, (pad, pad), groups) + bias
+        else:
+            out = _conv1d_raw(h, kernel, 1, (pad, pad), 1, groups) + bias
         if k % 2 == 0:
             out = out[:, :-1, :]
         return nn.gelu(out, approximate=False)

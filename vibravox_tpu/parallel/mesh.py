@@ -152,6 +152,11 @@ class DataParallel:
             and jax.process_count() == 1
             else None
         )
+        # let the task adapt to the mesh before anything compiles (e.g.
+        # wav2vec2 only needs its SPMD-safe pos-conv vjp when model > 1)
+        configure = getattr(task, "configure_for_mesh", None)
+        if configure is not None:
+            configure(self.mesh)
         self._jit_steps(NamedSharding(self.mesh, P()))
 
     def _jit_steps(self, state_shardings: Any) -> None:

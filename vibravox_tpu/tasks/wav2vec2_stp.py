@@ -75,12 +75,25 @@ class Wav2Vec2STPTask:
     def set_compute_dtype(self, dtype: "str | None") -> None:
         """Rebuild the flax module with the given compute dtype (the
         trainer's ``precision`` knob routes here before compilation)."""
+        self.compute_dtype = dtype
+        self._replace_config(compute_dtype=dtype)
+
+    def configure_for_mesh(self, mesh) -> None:
+        """Called by DataParallel before compilation: the SPMD-safe
+        positional-conv vjp is only needed when the mesh has a model
+        axis > 1 (its GSPMD dW bug scales with the model-axis size); on
+        model==1 meshes the plain XLA backward is exact and ~33% faster
+        at the recipe batch (see Wav2Vec2Config.spmd_safe_pos_conv)."""
+        self._replace_config(
+            spmd_safe_pos_conv=mesh.shape.get("model", 1) > 1
+        )
+
+    def _replace_config(self, **changes) -> None:
         import dataclasses as _dc
 
         from vibravox_tpu.models.wav2vec2 import Wav2Vec2ForCTCModule
 
-        self.compute_dtype = dtype
-        cfg = _dc.replace(self.wav2vec2_for_ctc.config, compute_dtype=dtype)
+        cfg = _dc.replace(self.wav2vec2_for_ctc.config, **changes)
         self.wav2vec2_for_ctc.config = cfg
         self.wav2vec2_for_ctc.module = Wav2Vec2ForCTCModule(cfg)
 
