@@ -63,12 +63,21 @@ def transformer_tp_spec(
     if model_size <= 1 or len(path_names) < 2:
         return P()
     mod, name = path_names[-2], path_names[-1]
+    # scanned transformer stacks (nn.scan, e.g. wav2vec2) carry a leading
+    # layer axis: kernels are (L, in, out), biases (L, features) — the
+    # layer axis always stays unsharded
     if mod in _COLUMN:
         if name == "kernel" and len(shape) == 2 and shape[1] % model_size == 0:
             return P(None, "model")
+        if name == "kernel" and len(shape) == 3 and shape[2] % model_size == 0:
+            return P(None, None, "model")
         if name == "bias" and len(shape) == 1 and shape[0] % model_size == 0:
             return P("model")
+        if name == "bias" and len(shape) == 2 and shape[1] % model_size == 0:
+            return P(None, "model")
     elif mod in _ROW:
         if name == "kernel" and len(shape) == 2 and shape[0] % model_size == 0:
             return P("model", None)
+        if name == "kernel" and len(shape) == 3 and shape[1] % model_size == 0:
+            return P(None, "model", None)
     return P()
