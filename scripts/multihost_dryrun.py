@@ -116,9 +116,40 @@ def worker(process_id: int, num_processes: int, port: int, devices_per_proc: int
     metrics = task.eval_metrics(outputs)
     stoi = metrics.get("torchmetrics_stoi")
     assert stoi is None or np.isfinite(stoi)
+
+    # --- multi-process tensor parallelism: data axis across processes,
+    # model axis within each process (the TPU-pod convention: TP rides the
+    # intra-host ICI).  Params must come out actually sharded over 'model'
+    # and the step must run — the numerical-equivalence contract for TP is
+    # pinned single-process in tests/test_multidevice_equivalence.py. ---
+    from jax.sharding import PartitionSpec as P
+
+    from vibravox_tpu.models.wav2vec2 import wav2vec2_for_ctc_from_config
+    from vibravox_tpu.parallel.mesh import MeshConfig
+    from vibravox_tpu.tasks.wav2vec2_stp import Wav2Vec2STPTask
+
+    tp_task = Wav2Vec2STPTask(
+        wav2vec2_for_ctc=wav2vec2_for_ctc_from_config(preset="tiny"),
+        optimizer=optax.sgd(1e-3),
+    )
+    mesh_tp = build_mesh(MeshConfig(data=num_processes, model=devices_per_proc))
+    dp_tp = DataParallel(tp_task, mesh_tp, donate_state=False)
+    ids = np.full((2, 16), -100, np.int64)
+    ids[:, :5] = rng.integers(0, 30, size=(2, 5))
+    tp_local = {
+        "audio": jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32)),
+        "phonemes_ids": jnp.asarray(ids),
+    }
+    tp_state = dp_tp.init_state(jax.random.key(0), tp_local)
+    spec = tp_state.params["layer_0"]["q_proj"]["kernel"].sharding.spec
+    assert spec == P(None, "model"), f"TP params not sharded: {spec}"
+    tp_state, tp_logs = dp_tp.train_step(tp_state, tp_local)
+    tp_loss = float(tp_logs["train/ctc_loss"])
+    assert np.isfinite(tp_loss), tp_loss
+
     print(
         f"MULTIHOST_OK process={process_id} loss={loss:.4f} "
-        f"eval_metrics={sorted(metrics)}",
+        f"eval_metrics={sorted(metrics)} tp_ctc_loss={tp_loss:.4f}",
         flush=True,
     )
 

@@ -141,15 +141,14 @@ class DataParallel:
         self.mesh = mesh or build_mesh()
         self._donate = donate_state
         spec_fn = getattr(task, "partition_spec_for_path", None)
-        # TP engages only on single-process meshes with a real model axis:
-        # multi-process param assembly stays replicated (the loader/eval
-        # gather paths assume addressable params), and model=1 makes every
-        # spec P() anyway.
+        # TP engages whenever the mesh has a real model axis (model=1 makes
+        # every spec P() anyway).  Multi-process assembly goes through
+        # jax.make_array_from_callback in init_state — every process holds
+        # the full host-side state (seeded init / loaded checkpoint), the
+        # same invariant `replicate` relies on.
         self._tp_spec_fn = (
             spec_fn
-            if spec_fn is not None
-            and self.mesh.shape.get("model", 1) > 1
-            and jax.process_count() == 1
+            if spec_fn is not None and self.mesh.shape.get("model", 1) > 1
             else None
         )
         # let the task adapt to the mesh before anything compiles (e.g.
@@ -214,6 +213,28 @@ class DataParallel:
         if self._tp_spec_fn is not None:
             shardings = self._tp_sharding_tree(state)
             self._jit_steps(shardings)
+            if jax.process_count() > 1:
+                # every process computed the identical full state (seeded
+                # init); each contributes its addressable shards
+                def put(x, sharding):
+                    if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+                        x.dtype, jax.dtypes.prng_key
+                    ):
+                        data = np.asarray(jax.random.key_data(x))
+                        arr = jax.make_array_from_callback(
+                            data.shape,
+                            NamedSharding(self.mesh, P()),
+                            lambda idx: data[idx],
+                        )
+                        return jax.random.wrap_key_data(
+                            arr, impl=jax.random.key_impl(x)
+                        )
+                    host = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        host.shape, sharding, lambda idx, h=host: h[idx]
+                    )
+
+                return jax.tree_util.tree_map(put, state, shardings)
             return jax.device_put(state, shardings)
         return replicate(self.mesh, state)
 
