@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vibravox_tpu.ops.conv import conv1d, conv_transpose1d
+from vibravox_tpu.ops.packed_seanet import packed_encoder_stem, stem_packable
 
 __all__ = ["SEANetEncoder", "SEANetDecoder"]
 
@@ -45,13 +46,21 @@ class CausalConv(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, kernel_only: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (self.kernel_size, in_ch // self.groups, self.features),
         )
+        if kernel_only:
+            # raw (kernel, bias) for the packed-stem path (ops/packed_seanet);
+            # declares the identical param tree without running the conv
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None
+            )
+            return kernel, bias
         if self.compute_dtype:
             dt = jnp.dtype(self.compute_dtype)
             x = x.astype(dt)
@@ -117,13 +126,23 @@ class SEANetResnetBlock(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, kernels_only: bool = False):
         hidden = self.dim // self.compress
+        conv_0 = CausalConv(hidden, self.kernel_size, dilation=self.dilation,
+                            compute_dtype=self.compute_dtype, name="conv_0")
+        conv_1 = CausalConv(self.dim, 1, compute_dtype=self.compute_dtype,
+                            name="conv_1")
+        if kernels_only:
+            # (kernel, bias) pairs for ops/packed_seanet; dummies carry only
+            # the channel counts the convs read their in_ch from
+            return (
+                conv_0(jnp.zeros((1, 1, self.dim)), kernel_only=True),
+                conv_1(jnp.zeros((1, 1, hidden)), kernel_only=True),
+            )
         h = _elu(x)
-        h = CausalConv(hidden, self.kernel_size, dilation=self.dilation,
-                       compute_dtype=self.compute_dtype, name="conv_0")(h)
+        h = conv_0(h)
         h = _elu(h)
-        h = CausalConv(self.dim, 1, compute_dtype=self.compute_dtype, name="conv_1")(h)
+        h = conv_1(h)
         return x + h.astype(x.dtype)
 
 
@@ -145,10 +164,43 @@ class SEANetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mult = 1
         cdt = self.compute_dtype
-        h = CausalConv(self.n_filters, self.kernel_size, compute_dtype=cdt,
-                       name="conv_in")(x)
+        ratios_rev = tuple(reversed(tuple(self.ratios)))
+        p = ratios_rev[0] if ratios_rev else 0
+        start = 0
+        if stem_packable(x.shape[1], x.shape[-1], self.n_filters, p):
+            # full-rate segment (conv_in, first-stage residual blocks,
+            # down_0) in the space-to-depth packed domain — identical param
+            # tree, identical math (ops/packed_seanet.py)
+            conv_in = CausalConv(self.n_filters, self.kernel_size,
+                                 compute_dtype=cdt, name="conv_in")
+            dilations = [self.dilation_base**j
+                         for j in range(self.n_residual_layers)]
+            blocks = [
+                SEANetResnetBlock(
+                    self.n_filters, self.compress, dilation=d,
+                    kernel_size=self.residual_kernel_size, compute_dtype=cdt,
+                    name=f"block_0_res_{j}",
+                )(x, kernels_only=True)
+                for j, d in enumerate(dilations)
+            ]
+            down_0 = CausalConv(self.n_filters * 2, p * 2, stride=p,
+                                compute_dtype=cdt, name="down_0")
+            h = packed_encoder_stem(
+                x,
+                conv_in(x, kernel_only=True),
+                blocks,
+                down_0(jnp.zeros((1, 1, self.n_filters)), kernel_only=True),
+                p=p, dilations=dilations, compute_dtype=cdt,
+            )
+            mult = 2
+            start = 1
+        else:
+            h = CausalConv(self.n_filters, self.kernel_size, compute_dtype=cdt,
+                           name="conv_in")(x)
         # downsample with the smallest ratio first (EnCodec ordering)
-        for i, ratio in enumerate(reversed(tuple(self.ratios))):
+        for i, ratio in enumerate(ratios_rev):
+            if i < start:
+                continue
             for j in range(self.n_residual_layers):
                 h = SEANetResnetBlock(
                     mult * self.n_filters, self.compress,
