@@ -174,6 +174,9 @@ def _bench_stp(batch_size):
         wav2vec2_for_ctc=wav2vec2_for_ctc_from_config(),  # default = base
         optimizer=optax.adam(1e-5),
         compute_dtype="bfloat16",
+        # measurement knob: single fused update over one flat vector vs
+        # per-leaf adam (see tasks/eben.py::flatten_optimizer)
+        flatten_optimizer=os.environ.get("VIBRAVOX_BENCH_FLATTEN", "0") == "1",
     )
     t = int(seconds * 16000) // 128 * 128
     rng = np.random.default_rng(0)
