@@ -14,9 +14,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from vibravox_tpu.models.mimi.seanet import SEANetEncoder
-from vibravox_tpu.ops.conv import conv1d
-from vibravox_tpu.ops.packed_seanet import pack_causal_kernel, stem_packable
+from vibravox_tpu.models.mimi.seanet import SEANetDecoder, SEANetEncoder
+from vibravox_tpu.ops.conv import conv1d, conv_transpose1d
+from vibravox_tpu.ops.packed_seanet import (
+    pack_causal_kernel,
+    pack_transpose_kernel,
+    stem_packable,
+    tail_packable,
+)
 
 
 @pytest.fixture()
@@ -54,6 +59,79 @@ class TestPackCausalKernel:
         kp, pads = pack_causal_kernel(w, stride=p, pad_left=p, p_in=p, p_out=1)
         y = conv1d(x.reshape(2, t // p, p * cin), kp, padding=pads)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+class TestPackTransposeKernel:
+    @pytest.mark.parametrize("p,cin,cout", [(4, 8, 4), (2, 4, 8)])
+    def test_matches_causal_transpose(self, rng_np, p, cin, cout):
+        t = 16
+        x = jnp.asarray(rng_np.standard_normal((2, t, cin)).astype(np.float32))
+        # torch layout (in, out, K), K = 2*stride as in SEANet upsamplers
+        w = jnp.asarray(
+            rng_np.standard_normal((cin, cout, 2 * p)).astype(np.float32))
+        ref = conv_transpose1d(x, w, stride=p, padding=0)
+        trim = 2 * p - p
+        ref = ref[:, :-trim, :]  # causal right trim (CausalConvTranspose)
+        kp, pads = pack_transpose_kernel(w, stride=p)
+        y = conv1d(x, kp, padding=pads)
+        np.testing.assert_allclose(
+            np.asarray(y.reshape(2, t * p, cout)), np.asarray(ref), atol=1e-5
+        )
+
+
+class TestPackedDecoderTail:
+    CFG = dict(dimension=64, n_filters=32, ratios=(8, 4), kernel_size=7,
+               last_kernel_size=3, residual_kernel_size=3,
+               n_residual_layers=2, dilation_base=2)
+
+    def _decoder_io(self, rng_np, t=16):
+        dec = SEANetDecoder(**self.CFG)
+        z = jnp.asarray(
+            rng_np.standard_normal((2, t, 64)).astype(np.float32) * 0.3)
+        return dec, z
+
+    def test_admissibility(self):
+        assert tail_packable(32, 4)
+        assert not tail_packable(4, 4)
+        assert not tail_packable(32, 1)
+
+    def test_forward_matches_plain(self, rng_np, monkeypatch):
+        dec, z = self._decoder_io(rng_np)
+        _toggle(monkeypatch, False)
+        params = dec.init(jax.random.key(0), z)
+        y_plain = dec.apply(params, z)
+        _toggle(monkeypatch, True)
+        y_packed = dec.apply(params, z)
+        assert y_packed.shape == y_plain.shape
+        np.testing.assert_allclose(
+            np.asarray(y_packed), np.asarray(y_plain), atol=2e-5
+        )
+
+    def test_param_tree_identical(self, rng_np, monkeypatch):
+        dec, z = self._decoder_io(rng_np)
+        _toggle(monkeypatch, True)
+        tree_packed = jax.tree_util.tree_structure(dec.init(jax.random.key(0), z))
+        _toggle(monkeypatch, False)
+        tree_plain = jax.tree_util.tree_structure(dec.init(jax.random.key(0), z))
+        assert tree_packed == tree_plain
+
+    def test_grad_matches_plain(self, rng_np, monkeypatch):
+        dec, z = self._decoder_io(rng_np)
+        _toggle(monkeypatch, False)
+        params = dec.init(jax.random.key(0), z)
+
+        def loss(p, z):
+            return jnp.mean(dec.apply(p, z) ** 2)
+
+        g_plain = jax.grad(loss)(params, z)
+        _toggle(monkeypatch, True)
+        g_packed = jax.grad(loss)(params, z)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(g_packed))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g_plain):
+            np.testing.assert_allclose(
+                np.asarray(flat_b[path]), np.asarray(leaf), atol=3e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
 
 
 class TestPackedEncoderStem:

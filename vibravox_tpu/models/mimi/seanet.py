@@ -20,7 +20,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vibravox_tpu.ops.conv import conv1d, conv_transpose1d
-from vibravox_tpu.ops.packed_seanet import packed_encoder_stem, stem_packable
+from vibravox_tpu.ops.packed_seanet import (
+    packed_decoder_tail,
+    packed_encoder_stem,
+    stem_packable,
+    tail_packable,
+)
 
 __all__ = ["SEANetEncoder", "SEANetDecoder"]
 
@@ -95,13 +100,19 @@ class CausalConvTranspose(nn.Module):
     compute_dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, kernel_only: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (in_ch, self.features // self.groups, self.kernel_size),  # torch layout
         )
+        if kernel_only:
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None
+            )
+            return kernel, bias
         if self.compute_dtype:
             dt = jnp.dtype(self.compute_dtype)
             x = x.astype(dt)
@@ -236,24 +247,44 @@ class SEANetDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
-        mult = 2 ** len(tuple(self.ratios))
+        ratios = tuple(self.ratios)
+        mult = 2 ** len(ratios)
         cdt = self.compute_dtype
+        p = ratios[-1] if ratios else 0
+        packed_tail = tail_packable(self.n_filters, p)
+        last = len(ratios) - 1
         h = CausalConv(mult * self.n_filters, self.kernel_size, compute_dtype=cdt,
                        name="conv_in")(z)
-        for i, ratio in enumerate(tuple(self.ratios)):
+        for i, ratio in enumerate(ratios):
             h = _elu(h)
-            h = CausalConvTranspose(
+            up = CausalConvTranspose(
                 mult * self.n_filters // 2, ratio * 2, stride=ratio,
                 compute_dtype=cdt, name=f"up_{i}",
-            )(h)
-            for j in range(self.n_residual_layers):
-                h = SEANetResnetBlock(
-                    mult * self.n_filters // 2, self.compress,
-                    dilation=self.dilation_base**j,
-                    kernel_size=self.residual_kernel_size,
-                    compute_dtype=cdt,
+            )
+            dilations = [self.dilation_base**j
+                         for j in range(self.n_residual_layers)]
+            blocks = [
+                SEANetResnetBlock(
+                    mult * self.n_filters // 2, self.compress, dilation=d,
+                    kernel_size=self.residual_kernel_size, compute_dtype=cdt,
                     name=f"block_{i}_res_{j}",
-                )(h)
+                )
+                for j, d in enumerate(dilations)
+            ]
+            if packed_tail and i == last:
+                # full-rate tail (up_last, residual blocks, ELU, conv_out)
+                # in the packed domain — identical param tree and math
+                conv_out = CausalConv(1, self.last_kernel_size, name="conv_out")
+                return packed_decoder_tail(
+                    h,
+                    up(h, kernel_only=True),
+                    [blk(h, kernels_only=True) for blk in blocks],
+                    conv_out(jnp.zeros((1, 1, self.n_filters)), kernel_only=True),
+                    p=p, dilations=dilations, compute_dtype=cdt,
+                )
+            h = up(h)
+            for blk in blocks:
+                h = blk(h)
             mult //= 2
         h = _elu(h)
         # final conv back to f32 so the waveform output is full precision

@@ -37,7 +37,14 @@ import jax.numpy as jnp
 
 from vibravox_tpu.ops.conv import conv1d
 
-__all__ = ["pack_causal_kernel", "packed_encoder_stem", "stem_packable"]
+__all__ = [
+    "pack_causal_kernel",
+    "pack_transpose_kernel",
+    "packed_encoder_stem",
+    "packed_decoder_tail",
+    "stem_packable",
+    "tail_packable",
+]
 
 KernelBias = Tuple[jnp.ndarray, Optional[jnp.ndarray]]
 
@@ -99,6 +106,44 @@ def pack_causal_kernel(
     return kp, (-r_min, r_max)
 
 
+def tail_packable(n_filters: int, p: int) -> bool:
+    """Decoder-side admissibility: the last upsample stage emits C=n_filters
+    at full rate; packing pays once the packed width fills the lanes."""
+    return (
+        os.environ.get("VIBRAVOX_PACKED_SEANET", "1") == "1"
+        and p >= 2
+        and p * n_filters >= 128
+    )
+
+
+def pack_transpose_kernel(
+    w_t: jnp.ndarray, *, stride: int
+) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Pack a causal transposed-conv kernel into the space-to-depth domain.
+
+    ``w_t`` is the torch layout ``(Cin, Cout, K)`` (see
+    ``ops/conv.py::conv_transpose1d``).  The transpose conv with stride
+    ``s = stride`` maps input row ``m`` onto outputs ``n = s·m + k``; with
+    the causal right-trim of ``K − s`` the output length is exactly ``s·T``.
+    Packing the output at ``p = s``: output row ``τ`` sub-index ``i``
+    collects ``x[τ − ρ] · w[:, :, s·ρ + i]`` — a stride-1 conv over the
+    *input* rows with kernel ``(ρ_max+1, Cin, s·Cout)`` and left padding
+    ``ρ_max``.  Exact: the zero left pad is the absent ``m < 0`` region and
+    the trimmed right overhang is never produced.
+    """
+    cin, cout, k_taps = w_t.shape
+    p = stride
+    entries = [
+        (i, k, (k - i) // p) for i in range(p) for k in range(i, k_taps, p)
+    ]
+    r_max = max(e[2] for e in entries)
+    kp = jnp.zeros((r_max + 1, cin, p * cout), w_t.dtype)
+    for i, k, rho in entries:
+        # conv orientation: tap j reads x[τ - r_max + j] → ρ = r_max - j
+        kp = kp.at[r_max - rho, :, i * cout : (i + 1) * cout].add(w_t[:, :, k])
+    return kp, (r_max, 0)
+
+
 def _pconv(
     z: jnp.ndarray,
     kb: KernelBias,
@@ -158,3 +203,49 @@ def packed_encoder_stem(
     # stride-p conv, kernel 2p, causal pad_total = p → spans exactly two
     # packed rows; each packed row emits one output frame (p_out = 1)
     return _pconv(h, down, stride=p, pad_left=p, p_in=p, p_out=1)
+
+
+def packed_decoder_tail(
+    h: jnp.ndarray,
+    up: KernelBias,
+    res_blocks: Sequence[Tuple[KernelBias, KernelBias]],
+    conv_out: KernelBias,
+    *,
+    p: int,
+    dilations: Sequence[int],
+    compute_dtype: Optional[str] = None,
+) -> jnp.ndarray:
+    """Full-rate SEANet decoder segment in the packed domain.
+
+    ``h`` (B, T', C) → waveform (B, p·T', 1): the last stage's stride-p
+    transposed conv emits directly INTO the packed domain, the residual
+    blocks run packed, and the final conv (f32, matching the plain path's
+    cast) unpacks via a free reshape.  Mirrors ``SEANetDecoder``'s last
+    loop iteration + tail ops 1:1 (the pre-up ELU stays with the caller at
+    the low rate).
+    """
+    b, t, _ = h.shape
+    dt = jnp.dtype(compute_dtype) if compute_dtype else h.dtype
+    h = h.astype(dt)
+
+    w_up, b_up = up
+    kp, pads = pack_transpose_kernel(w_up.astype(dt), stride=p)
+    y = conv1d(h, kp, padding=pads)
+    if b_up is not None:
+        y = y + jnp.tile(b_up, p).astype(y.dtype)
+
+    for (c0, c1), d in zip(res_blocks, dilations):
+        r = _elu(y)
+        k0 = c0[0].shape[0]
+        r = _pconv(r, c0, stride=1, pad_left=(k0 - 1) * int(d),
+                   p_in=p, p_out=p, dilation=int(d))
+        r = _elu(r)
+        r = _pconv(r, c1, stride=1, pad_left=0, p_in=p, p_out=p)
+        y = y + r.astype(y.dtype)
+
+    y = _elu(y)
+    # final conv back to f32 (the plain path casts before conv_out)
+    k_out = conv_out[0].shape[0]
+    out = _pconv(y.astype(jnp.float32), conv_out, stride=1,
+                 pad_left=k_out - 1, p_in=p, p_out=p)
+    return out.reshape(b, p * t, conv_out[0].shape[-1])
