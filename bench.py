@@ -232,12 +232,19 @@ def _bench_spkv(batch_size):
     return ("spkv", batch_size)
 
 
+def _bench_codec(batch_size):
+    """Sentinel like spkv: the Mimi codec round trip (encode → RVQ →
+    decode) is inference-only — the SE-eval and codec-serving surface."""
+    return ("codec", batch_size)
+
+
 _TASKS = {
     "eben": (_bench_eben, 128),
     "stp": (_bench_stp, 8),
     "mimi": (_bench_mimi, 32),
     "serve": (_bench_serve, 8),
     "spkv": (_bench_spkv, 32),
+    "codec": (_bench_codec, 32),
 }
 
 
@@ -292,6 +299,68 @@ def _run_spkv(batch_size) -> None:
         json.dumps(
             {
                 "metric": "ecapa2_embed_throughput",
+                "value": round(batch_size * seconds / dt / n_chips, 3),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": None,
+                "mfu": round(mfu, 4) if mfu else None,
+                "timing": "chained",
+            }
+        )
+    )
+
+
+def _run_codec(batch_size) -> None:
+    """Mimi codec round-trip throughput: waveform → unquantized latents →
+    RVQ → waveform (``encode_to_latent`` + ``decode_latent``, the eval-epoch
+    and codec-serving path — ref regressive_mimi.py:57-74).  Exercises both
+    packed SEANet segments (``ops/packed_seanet.py``).  Chained-dependency
+    timing as in spkv."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vibravox_tpu.models.mimi.mimi import Mimi
+
+    seconds = 2.0
+    mimi = Mimi(compute_dtype="bfloat16")
+    t = mimi.valid_length(int(seconds * 24000))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(
+        rng.standard_normal((batch_size, t, 1)).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def step(params, x):
+        latent = mimi.module.apply(params, x, method="encode_to_latent")
+        y = mimi.module.apply(params, latent, method="decode_latent")
+        return x + jnp.sum(y) * 1e-30, y
+
+    params = mimi.params
+    x = x0
+    for _ in range(3):
+        x, y = step(params, x)
+    float(jnp.sum(y))
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        x, y = step(params, x)
+    float(jnp.sum(y))  # single sync; the chain guarantees all steps ran
+    dt = (time.perf_counter() - t0) / n_steps
+
+    n_chips = jax.device_count()
+    mfu = None
+    try:
+        cost = step.lower(params, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0))
+        if flops > 0:
+            mfu = flops / dt / (n_chips * V5E_BF16_PEAK)
+    except Exception:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "mimi_codec_roundtrip_throughput",
                 "value": round(batch_size * seconds / dt / n_chips, 3),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": None,
@@ -368,6 +437,9 @@ def main(argv=None) -> None:
         return
     if args.task == "spkv":
         _run_spkv(batch_size)
+        return
+    if args.task == "codec":
+        _run_codec(batch_size)
         return
     metric, dp, state, batch, audio_seconds = build(batch_size)
 
