@@ -93,7 +93,7 @@ class WNConv1d(nn.Module):
     eps: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, kernel_only: bool = False):
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.groups) * self.kernel_size
         v = self.param(
@@ -109,6 +109,14 @@ class WNConv1d(nn.Module):
         g = self.param("kernel_g", g_init, (self.features,))
         norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
         kernel = v * (g[None, None, :] / (norm + self.eps))
+        if kernel_only:
+            # effective (kernel, bias) for packed paths (ops/packed_melgan);
+            # declares the identical param tree without running the conv
+            bias = (
+                self.param("bias", _torch_conv_init(fan_in), (self.features,))
+                if self.use_bias else None
+            )
+            return kernel, bias
         y = conv1d(
             x,
             kernel,

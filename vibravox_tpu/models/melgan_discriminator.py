@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from vibravox_tpu.models.layers import WNConv1d
 from vibravox_tpu.ops.conv import reflect_pad
+from vibravox_tpu.ops.packed_melgan import disc_stem_packable, packed_disc_stem
 from vibravox_tpu.ops.resample import KaiserResampler
 
 __all__ = ["DiscriminatorMelGAN", "MelganMultiScalesDiscriminator"]
@@ -44,8 +45,23 @@ class DiscriminatorMelGAN(nn.Module):
     def __call__(self, audio: jnp.ndarray) -> List[jnp.ndarray]:
         """audio (B, T, 1) -> list of 8 embeddings [input, 6 hidden, certainties]."""
         embeddings = [audio]
-        x = reflect_pad(audio, (7, 7))
-        for i, stage in enumerate(self.stages):
+        if disc_stem_packable(audio.shape[1]):
+            # full-rate stem (conv_0..conv_2) in the space-to-depth packed
+            # domain (ops/packed_melgan.py) — identical param tree and math
+            kbs = [
+                self.stages[0](jnp.zeros((1, 1, 1)), kernel_only=True),
+                self.stages[1](jnp.zeros((1, 1, 16)), kernel_only=True),
+                self.stages[2](jnp.zeros((1, 1, 64)), kernel_only=True),
+            ]
+            packed = packed_disc_stem(
+                audio, *kbs, groups=4, slope=self.alpha_leaky_relu)
+            embeddings.extend(packed)
+            x = packed[-1]
+            rest = self.stages[len(packed):]
+        else:
+            x = reflect_pad(audio, (7, 7))
+            rest = self.stages
+        for stage in rest:
             x = stage(x)
             x = nn.leaky_relu(x, negative_slope=self.alpha_leaky_relu)
             embeddings.append(x)
