@@ -150,12 +150,31 @@ def a_weighting_fir(sample_rate: int, ntaps: int = 101) -> np.ndarray:
     return taps.astype(np.float32)
 
 
+_FIR_PACK = 8
+
+
+def _fir_conv(x: jnp.ndarray, w: jnp.ndarray, pad_left: int, pad_right: int) -> jnp.ndarray:
+    """(B, T) zero-padded FIR.  Space-to-depth packed when T divides: the
+    k101 A-weighting FIR at (B, ~40k) fills ONE of the 128 vector lanes and
+    was ~1 ms per application in the batch-32 GAN-step profile; packing p=8
+    densifies 8 samples into the lane axis (rows ÷8 for +19% taps) and is
+    exact — the packed zero rows are a superset of the true zero pad."""
+    b, t = x.shape
+    if t % _FIR_PACK == 0:
+        from vibravox_tpu.ops.packed_seanet import pack_causal_kernel
+
+        kp, pads = pack_causal_kernel(
+            w, stride=1, pad_left=pad_left, p_in=_FIR_PACK, p_out=_FIR_PACK)
+        y = conv1d(x.reshape(b, t // _FIR_PACK, _FIR_PACK), kp, padding=pads)
+        return y.reshape(b, t)
+    return conv1d(x[:, :, None], w, padding=(pad_left, pad_right))[:, :, 0]
+
+
 @jax.custom_vjp
 def _fir_same(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     k = taps.shape[0]
     w = taps[::-1][:, None, None]  # (k, 1, 1): true convolution
-    y = conv1d(x[:, :, None], w, padding=(k // 2, (k - 1) // 2))
-    return y[:, :, 0]
+    return _fir_conv(x, w, k // 2, (k - 1) // 2)
 
 
 def _fir_same_fwd(x, taps):
@@ -172,7 +191,7 @@ def _fir_same_bwd(res, g):
     pl, pr = k // 2, (k - 1) // 2
     # dx[s] = sum_i taps[i] * g[s + pl - k + 1 + i]: correlation with the
     # UN-flipped taps, padding (k-1-pl, k-1-pr)
-    dx = conv1d(g[:, :, None], taps[:, None, None], padding=(k - 1 - pl, k - 1 - pr))[:, :, 0]
+    dx = _fir_conv(g, taps[:, None, None], k - 1 - pl, k - 1 - pr)
     # dtaps[i] = sum_{b,t} g[b,t] * xpad[b, t + k - 1 - i]: one valid-padded
     # correlation with batch folded into the channel dim
     xpad = jnp.pad(x, [(0, 0), (pl, pr)])
