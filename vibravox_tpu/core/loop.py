@@ -18,6 +18,7 @@ import numpy as np
 
 from vibravox_tpu.core.callbacks import ModelSummary
 from vibravox_tpu.core.checkpoint import CheckpointManager
+from vibravox_tpu.core.guard import AnomalyDetected, FailureGuard
 from vibravox_tpu.core.logging import Logger, NoOpLogger
 from vibravox_tpu.core.profiler import StepTimer, trace_window
 from vibravox_tpu.parallel.mesh import DataParallel, MeshConfig, build_mesh
@@ -47,6 +48,8 @@ class Trainer:
         precision: Optional[str] = None,
         overfit_batches: int = 0,
         model_summary: Optional[ModelSummary] = None,
+        failure_guard: Optional[Any] = None,
+        preemption_checkpoint: bool = True,
     ):
         """``precision``/``overfit_batches`` mirror the reference trainer's
         (commented) config surface (``configs/trainer/ddp.yaml:12-22``):
@@ -75,6 +78,19 @@ class Trainer:
         if self.overfit_batches:
             self.limit_train_batches = self.overfit_batches
             self.limit_val_batches = self.overfit_batches
+        # failure detection (core/guard.py): True → defaults, dict → kwargs
+        if failure_guard is True:
+            failure_guard = FailureGuard()
+        elif isinstance(failure_guard, dict):
+            failure_guard = FailureGuard(**failure_guard)
+        self.failure_guard: Optional[FailureGuard] = failure_guard
+        # preemption-aware checkpointing: SLURM sends SIGTERM/SIGUSR1 ahead
+        # of the kill (TPU maintenance events likewise); the reference loses
+        # the partial epoch and relies on resubmission (SURVEY §5).  On
+        # signal we finish the in-flight step, save `last`, and exit cleanly
+        # so the resubmitted job resumes the interrupted epoch.
+        self.preemption_checkpoint = preemption_checkpoint
+        self._preempt_signum: Optional[int] = None
 
         self.state = None
         self.global_step = 0
@@ -135,13 +151,31 @@ class Trainer:
 
         timer = StepTimer()
         profiler_trace = None
-        for epoch in range(self.current_epoch, self.max_epochs):
+        self._preempt_signum = None
+        prev_handlers = (
+            self._install_preemption_handlers()
+            if self.preemption_checkpoint and self.checkpoint is not None
+            else {}
+        )
+        try:
+            self._fit_epochs(task, dp, datamodule, train_loader, timer, profiler_trace)
+        finally:
+            self._restore_signal_handlers(prev_handlers)
+        self.logger.flush()
+
+    def _fit_epochs(self, task, dp, datamodule, train_loader, timer, profiler_trace) -> None:
+        epoch = self.current_epoch
+        while epoch < self.max_epochs:
             self.current_epoch = epoch
             epoch_t0 = time.perf_counter()
             audio_seconds = 0.0
+            anomaly: Optional[str] = None
+            logs: Optional[Dict[str, Any]] = None
             for i, batch in enumerate(train_loader):
                 if self.limit_train_batches is not None and i >= self.limit_train_batches:
                     break
+                if self._preempt_signum is not None:
+                    break  # don't start a new step under a preemption deadline
                 if self.profile_dir and self.global_step == 8:
                     profiler_trace = trace_window(self.profile_dir).__enter__()
                 timer.start()
@@ -155,9 +189,41 @@ class Trainer:
                 if x is not None:
                     audio_seconds += x.shape[0] * x.shape[1] / task.sample_rate
                 if self.global_step % self.log_every_n_steps == 0:
-                    self.logger.log_scalars(_as_float_logs(logs), self.global_step)
+                    floated = _as_float_logs(logs)
+                    self.logger.log_scalars(floated, self.global_step)
+                    if self.failure_guard is not None:
+                        anomaly = self.failure_guard.scan(floated)
+                        if anomaly is not None:
+                            break
                 self.global_step += 1
+                if self._preempt_signum is not None:
+                    break
             jax.block_until_ready(self.state)
+            # end-of-epoch barrier: a NaN/Inf anywhere in the epoch propagates
+            # to the final step's losses, so this scan guarantees a poisoned
+            # state never reaches checkpoint.save below (core/guard.py)
+            if anomaly is None and self.failure_guard is not None and logs is not None:
+                anomaly = self.failure_guard.scan(_as_float_logs(logs))
+            if anomaly is not None:
+                epoch = self._recover(anomaly)
+                continue
+            if self._preempt_signum is not None:
+                # save with the previous epoch's marker so the resubmitted
+                # job replays the interrupted epoch from its start (the
+                # guard scan above already certified the state is clean);
+                # skip the save when no step ran since the last epoch-end
+                # save (same global_step — that checkpoint already exists)
+                if logs is not None:
+                    self.checkpoint.save(
+                        self.state, self.global_step, {},
+                        trainer_state={"epoch": epoch - 1, "global_step": self.global_step},
+                    )
+                self.logger.log_text(
+                    "preemption",
+                    f"signal {self._preempt_signum}: checkpointed at epoch "
+                    f"{epoch}, step {self.global_step}; exiting for resubmission",
+                )
+                return
             wall = time.perf_counter() - epoch_t0
             epoch_metrics = {
                 "train/epoch_wall_seconds": wall,
@@ -178,7 +244,58 @@ class Trainer:
                     self.state, self.global_step, val_metrics,
                     trainer_state={"epoch": epoch, "global_step": self.global_step},
                 )
-        self.logger.flush()
+            epoch += 1
+
+    def _on_preempt(self, signum, frame) -> None:
+        del frame
+        self._preempt_signum = signum
+
+    def _install_preemption_handlers(self) -> Dict[int, Any]:
+        import signal
+
+        prev: Dict[int, Any] = {}
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                prev[sig] = signal.signal(sig, self._on_preempt)
+            except (ValueError, OSError):  # non-main thread / unsupported
+                pass
+        return prev
+
+    @staticmethod
+    def _restore_signal_handlers(prev: Dict[int, Any]) -> None:
+        import signal
+
+        for sig, handler in prev.items():
+            signal.signal(sig, handler)
+
+    def _recover(self, reason: str) -> int:
+        """Restore the ``last`` checkpoint after a detected anomaly; return
+        the epoch to resume from.  Raises :class:`AnomalyDetected` when no
+        restore point exists or the guard's budget is exhausted."""
+        guard = self.failure_guard
+        restorable = self.checkpoint is not None and self.checkpoint.has_last()
+        if not restorable or guard.restores_used >= guard.max_restores:
+            raise AnomalyDetected(
+                f"{reason}; "
+                + (
+                    f"restore budget exhausted ({guard.restores_used}/{guard.max_restores})"
+                    if restorable
+                    else "no 'last' checkpoint to restore"
+                )
+            )
+        guard.restores_used += 1
+        self.state = self.checkpoint.restore(self.state, "last")
+        progress = self.checkpoint.trainer_state()
+        self.global_step = int(progress.get("global_step", 0))
+        next_epoch = int(progress.get("epoch", -1)) + 1
+        self.logger.log_scalars(
+            {"anomaly/restores": float(guard.restores_used)}, self.global_step
+        )
+        self.logger.log_text(
+            "anomaly/restore",
+            f"{reason} -> restored 'last', resuming at epoch {next_epoch}",
+        )
+        return next_epoch
 
     # ------------------------------------------------------------------ #
 
