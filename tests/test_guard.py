@@ -167,6 +167,29 @@ class TestTrainerAnomalyRecovery:
         assert trainer2.global_step == 2 + 3 + 3
         assert np.isfinite(np.asarray(trainer2.state["w"])).all()
 
+    def test_elastic_restore_across_mesh_sizes(self, tmp_path):
+        """Elastic resubmission: a checkpoint written under the 8-device DP
+        mesh restores onto a 4-device mesh (different slice size after
+        preemption) and training continues — orbax reshards on restore."""
+        from vibravox_tpu.parallel.mesh import DataParallel, MeshConfig, build_mesh
+
+        dm = _ToyDataModule(poison_passes=set())
+        t1 = _trainer(tmp_path, max_epochs=1)  # default mesh: all 8 devices
+        t1.fit(_ToyTask(), dm)
+        w8 = np.asarray(t1.state["w"])
+
+        mesh4 = build_mesh(MeshConfig(data=4, model=1), jax.devices()[:4])
+        dp4 = DataParallel(_ToyTask(), mesh4, donate_state=False)
+        batch = next(iter(dm.loader))
+        state4 = dp4.init_state(jax.random.key(0), batch)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), save_last=True)
+        restored = mgr.restore(state4, "last")
+        np.testing.assert_allclose(np.asarray(restored["w"]), w8)
+
+        stepped, logs = dp4.train_step(restored, batch)
+        assert np.isfinite(float(logs["train/loss"]))
+        assert int(np.asarray(stepped["step"])) == int(np.asarray(t1.state["step"])) + 1
+
     def test_guard_off_by_default(self, tmp_path):
         # without a guard the poisoned step trains through (documents the
         # default-off behavior: zero change to existing recipes)
