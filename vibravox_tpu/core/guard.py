@@ -24,6 +24,13 @@ Enable from config (``configs/trainer/ddp.yaml``)::
     failure_guard:            # or `failure_guard: true` for defaults
       max_restores: 2
       max_loss: 1e4
+
+Multi-process: the scanned training logs are globally-reduced scalars
+(identical on every host), so detection and the restore decision are
+consistent across processes without extra communication.  Preemption
+signals must reach every process (SLURM signals the whole step; TPU
+maintenance events land on every host of the slice) — the orbax save the
+handler triggers is a collective.
 """
 
 from __future__ import annotations
