@@ -127,3 +127,60 @@ class TestLoadHFStreaming:
             sensor="throat_microphone", sample_rate=16000, streaming=True,
         )
         assert stream.removed == ["extra"]
+
+
+class _MapSource:
+    """Tiny map-style source: item i is a length-4 vector of value i."""
+
+    def __init__(self, n=24):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {
+            "audio_body_conducted": np.full(4, i, np.float32),
+            "audio_airborne": np.full(4, -i, np.float32),
+        }
+
+
+class TestLoaderDeterminism:
+    """Concurrency/state gates for the prefetch loader (core hazards the
+    reference delegates to torch DataLoader workers)."""
+
+    def _orders(self, dl, epochs=2):
+        return [
+            [float(v) for b in dl for v in b["x"][:, 0]] for _ in range(epochs)
+        ]
+
+    def test_len_is_side_effect_free(self):
+        a = DataLoader(_MapSource(), _collate, batch_size=4, shuffle=True, seed=7)
+        b = DataLoader(_MapSource(), _collate, batch_size=4, shuffle=True, seed=7)
+        len(a), len(a), len(a)  # must not perturb the shuffle stream
+        assert self._orders(a) == self._orders(b)
+
+    def test_prefetch_stream_equals_serial_stream(self):
+        a = DataLoader(_MapSource(), _collate, batch_size=4, shuffle=True,
+                       seed=3, prefetch=2)
+        b = DataLoader(_MapSource(), _collate, batch_size=4, shuffle=True,
+                       seed=3, prefetch=0)
+        oa, ob = self._orders(a), self._orders(b)
+        assert oa == ob
+        assert oa[0] != oa[1]  # epochs reshuffle
+
+    def test_abandoned_iterator_releases_worker_thread(self):
+        import gc
+        import threading
+        import time
+
+        baseline = threading.active_count()
+        dl = DataLoader(_MapSource(64), _collate, batch_size=4, prefetch=2)
+        for _ in range(5):  # example-batch draws + limit_train_batches breaks
+            for batch in dl:
+                break
+        gc.collect()
+        deadline = time.monotonic() + 5.0
+        while threading.active_count() > baseline and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= baseline

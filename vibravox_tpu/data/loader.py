@@ -46,7 +46,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.epoch = 0
         # iterable (streaming) sources have no len/__getitem__: batches are
         # drawn from the stream through a shuffle buffer instead of an index
@@ -58,13 +58,19 @@ class DataLoader:
         else:
             self.process_slice = (0, 1)
 
+    def _epoch_rng(self) -> np.random.Generator:
+        """Per-epoch rng as a PURE function of (seed, epoch): no hidden
+        generator state, so ``len(loader)`` is side-effect-free and every
+        host of a multi-process run derives the identical permutation
+        regardless of how many times each one inspected the loader (the
+        per-host shards ``idx[rank::world]`` stay disjoint)."""
+        return np.random.default_rng((self.seed, self.epoch))
+
     def _indices(self) -> np.ndarray:
         n = len(self.source)
         idx = np.arange(n)
         if self.shuffle:
-            # reseed per epoch deterministically
-            rng = np.random.default_rng(self.rng.integers(2**31) + self.epoch)
-            rng.shuffle(idx)
+            self._epoch_rng().shuffle(idx)
         rank, world = self.process_slice
         return idx[rank::world]
 
@@ -93,7 +99,7 @@ class DataLoader:
         if world > 1:
             # strided per-host sharding of the stream (disjoint examples)
             it = itertools.islice(it, rank, None, world)
-        rng = np.random.default_rng(self.rng.integers(2**31) + self.epoch)
+        rng = self._epoch_rng()
         buffer: list = []
         pending: list = []
 
@@ -124,23 +130,50 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # bounded put so an abandoned consumer (early `break`,
+                    # `next(iter(loader))` example draws, limit_*_batches)
+                    # can release the worker instead of leaking a thread
+                    # blocked on a full queue for the process lifetime
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:  # surface loader errors on the main thread
                 error.append(e)
             finally:
-                q.put(sentinel)
+                # deliver the sentinel unless the consumer already left
+                # (stop set → nobody is reading; drain+join handle cleanup)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while True:  # drain so a blocked put can proceed
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=10.0)
         if error:
             raise error[0]
