@@ -79,6 +79,10 @@ def main(argv=None) -> dict:
         )
 
         trainer.fit(task, datamodule)
+        if getattr(trainer, "_preempt_signum", None) is not None:
+            # preempted mid-fit: the state is checkpointed and the hard kill
+            # is imminent — exit for resubmission instead of starting test
+            return {}
         metrics = trainer.test(task, datamodule, ckpt_path="last")
         return metrics
     finally:
