@@ -88,6 +88,26 @@ class TestEnhanceServer:
         with pytest.raises(RuntimeError):
             srv.submit(np.zeros(100, np.float32))
 
+    def test_close_fails_raced_requests_instead_of_hanging(self, model_and_params):
+        """A request that lands behind the shutdown sentinel (the tiny
+        submit/close race window) must resolve with an error, not block its
+        caller on .result() forever."""
+        from concurrent.futures import Future
+
+        from vibravox_tpu.serving import _Request
+
+        model, params = model_and_params
+        srv = EnhanceServer(model, params, bucket_seconds=(0.5,))
+        # simulate the race: the worker sees a shutdown sentinel, then a
+        # straggler request lands behind it before close() runs
+        srv._queue.put(None)
+        srv._worker.join(timeout=10)
+        fut: Future = Future()
+        srv._queue.put(_Request(fut, np.zeros(100, np.float32), srv.buckets[0], 0.0))
+        srv.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            fut.result(timeout=10)
+
 
 class TestStreamingEnhancer:
     """Chunked streaming must reproduce the offline forward in the interior

@@ -168,6 +168,16 @@ class EnhanceServer:
             self._closed = True
             self._queue.put(None)
             self._worker.join(timeout=30)
+            # fail any request that raced past the _closed check and landed
+            # behind the shutdown sentinel — otherwise its caller blocks on
+            # .result() forever
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None:
+                    req.future.set_exception(RuntimeError("server is closed"))
 
     # ------------------------------------------------------------------ #
 
