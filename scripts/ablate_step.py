@@ -27,6 +27,7 @@ def main() -> None:
     from vibravox_tpu.models.eben_generator import EBENGenerator
     from vibravox_tpu.ops.stft import MultiResolutionSTFTLoss
     from vibravox_tpu.tasks.eben import EBENTask
+    from vibravox_tpu.tasks.eben_oracle import balancing_lambdas_naive
 
     print("devices:", jax.devices(), flush=True)
     sample_rate, batch_size, seconds = 16000, 32, 2.5
@@ -123,7 +124,7 @@ def main() -> None:
 
     def balance_step(gen_params):
         st = state.replace(gen_params=gen_params)
-        lam, _ = task._balancing_lambdas(st, features, first_bands, reference, decomposed_reference)
+        lam, _ = balancing_lambdas_naive(task, st, features, first_bands, reference, decomposed_reference)
         return jax.tree_util.tree_map(
             lambda p: p - 1e-30 * lam.sum().astype(p.dtype), gen_params
         )

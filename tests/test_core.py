@@ -213,6 +213,34 @@ class TestDataLoader:
         e1b = [b["v"].ravel().tolist() for b in l1]
         assert e1 != e1b  # second epoch reshuffles
 
+    def test_set_epoch_keys_shuffle_to_trainer_epoch(self):
+        """A preemption-resumed run must see epoch-N data order, not a
+        replay of the original run's epoch-0 order: set_epoch pins the next
+        pass's (seed, epoch) shuffle key (torch DistributedSampler pattern;
+        the Trainer calls it with current_epoch at each epoch start)."""
+
+        def collate(items):
+            return {"v": np.stack([x["v"] for x in items])}
+
+        def order(loader):
+            return [b["v"].ravel().tolist() for b in loader]
+
+        # original run: epochs 1, 2, 3 (the Trainer pins each)
+        orig = DataLoader(self._Src(), collate, 2, shuffle=True, seed=1)
+        by_epoch = {}
+        for e in (1, 2, 3):
+            orig.set_epoch(e)
+            by_epoch[e] = order(orig)
+        assert by_epoch[1] != by_epoch[2]  # epochs really differ
+
+        # resumed run starts straight at epoch 3: identical order
+        resumed = DataLoader(self._Src(), collate, 2, shuffle=True, seed=1)
+        resumed.set_epoch(3)
+        assert order(resumed) == by_epoch[3]
+        # an unpinned follow-up pass advances normally (epoch 4)
+        orig.set_epoch(4)
+        assert order(resumed) == order(orig)
+
     def test_drop_last(self):
         def collate(items):
             return {"v": np.stack([x["v"] for x in items])}

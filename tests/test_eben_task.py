@@ -16,6 +16,7 @@ from vibravox_tpu.models.eben_discriminator import DiscriminatorEBENMultiScales
 from vibravox_tpu.models.eben_generator import EBENGenerator
 from vibravox_tpu.ops.stft import MultiResolutionSTFTLoss
 from vibravox_tpu.tasks.eben import EBENTask
+from vibravox_tpu.tasks.eben_oracle import balancing_lambdas_naive
 
 
 def make_task(**kwargs):
@@ -153,7 +154,7 @@ class TestEBENEvalStep:
 class TestFusedGeneratorStepEquivalence:
     """train_step's shared-linearization generator update (one full-gen vjp
     at the lambda-weighted cotangent sum + tail-vjp balancing norms) must
-    equal the naive formulation: lambdas from _balancing_lambdas, then
+    equal the naive formulation: lambdas from balancing_lambdas_naive, then
     value_and_grad of sum(lambda_i * L_i)."""
 
     def test_grads_and_norms_match_naive(self, batch):
@@ -168,7 +169,7 @@ class TestFusedGeneratorStepEquivalence:
 
         # naive: lambdas via the tail jacobian, grads via value_and_grad
         features, first_bands = task.generator.apply(state.gen_params, corrupted, method="front")
-        lambdas, norms = task._balancing_lambdas(state, features, first_bands, reference, dec_ref)
+        lambdas, norms = balancing_lambdas_naive(task, state, features, first_bands, reference, dec_ref)
 
         def naive_loss(gp):
             enh, dec = task.generator.apply(gp, corrupted)

@@ -190,6 +190,101 @@ class TestTrainerAnomalyRecovery:
         assert np.isfinite(float(logs["train/loss"]))
         assert int(np.asarray(stepped["step"])) == int(np.asarray(t1.state["step"])) + 1
 
+    def test_sigterm_during_final_step_completes_epoch(self, tmp_path):
+        """A signal landing during the epoch's LAST step must not mark the
+        fully-completed epoch as interrupted: the normal epoch-end save runs
+        (trainer_state epoch = N, not N-1) and the resumed job starts the
+        NEXT epoch instead of replaying applied updates (ADVICE r3)."""
+        import os
+        import signal
+
+        class _FinalStepSignalLoader(_PoisonLoader):
+            def __iter__(self):
+                idx = self.pass_idx
+                self.pass_idx += 1
+                for j in range(3):
+                    yield {"x": self.x.copy()}
+                    # post-yield code runs when the consumer asks for the
+                    # NEXT item, i.e. after the final batch's step ran —
+                    # the signal lands "during the final step"
+                    if idx == 1 and j == 2:
+                        os.kill(os.getpid(), signal.SIGTERM)
+
+        dm = _ToyDataModule(poison_passes=set())
+        dm.loader = _FinalStepSignalLoader(set())
+        trainer = _trainer(tmp_path, max_epochs=3)
+        trainer.limit_train_batches = None
+        trainer.fit(_ToyTask(), dm)
+        assert trainer._preempt_signum == signal.SIGTERM
+        assert trainer.global_step == 3  # all 3 steps of epoch 0 ran
+        # the checkpoint records a COMPLETED epoch 0
+        assert trainer.checkpoint.trainer_state()["epoch"] == 0
+
+        # resubmission starts at epoch 1 — no replay of epoch 0
+        trainer2 = _trainer(tmp_path, max_epochs=2)
+        trainer2.limit_train_batches = None
+        trainer2.fit(_ToyTask(), dm)
+        assert trainer2.global_step == 3 + 3
+        assert int(np.asarray(trainer2.state["step"])) == 6
+
+    def test_scan_every_n_steps_beats_sparse_logging(self, tmp_path):
+        """With log_every_n_steps=100 a NaN at step 1 would train on garbage
+        until the next logged step; scan_every_n_steps=1 catches it at the
+        step (one extra host sync per scan — core/guard.py)."""
+
+        class _MultiBatchPoisonLoader(_PoisonLoader):
+            def __iter__(self):
+                idx = self.pass_idx
+                self.pass_idx += 1
+                for j in range(3):
+                    x = self.x.copy()
+                    if idx == 2 and j == 1:  # step 1 of epoch 1
+                        x[0, 0] = np.nan
+                    yield {"x": x}
+
+        dm = _ToyDataModule(poison_passes=set())
+        dm.loader = _MultiBatchPoisonLoader(set())
+        trainer = _trainer(tmp_path, max_epochs=3)
+        trainer.limit_train_batches = None
+        trainer.log_every_n_steps = 100
+        trainer.failure_guard.scan_every_n_steps = 1
+        trainer.fit(_ToyTask(), dm)
+        assert trainer.failure_guard.restores_used == 1
+        # the poisoned step was detected immediately and not counted;
+        # recovery replayed epoch 1 → 9 counted optimizer steps
+        assert int(np.asarray(trainer.state["step"])) == 9
+        assert np.isfinite(np.asarray(trainer.state["w"])).all()
+
+    def test_epoch_end_state_scan_catches_finite_loss_nan_update(self, tmp_path):
+        """The epoch's FINAL step can report a finite (pre-update) loss while
+        its backward/update mints non-finite params; the epoch-end barrier
+        must verify the STATE, not the logged losses, before `last` is
+        overwritten (ADVICE r3 — guard.scan_state)."""
+
+        class _NaNUpdateTask(_ToyTask):
+            def train_step(self, state, batch):
+                # forward loss from the CLEAN part of the batch (finite);
+                # the update ingests the full batch (possibly NaN)
+                loss = jnp.mean((batch["x"][1:] @ state["w"] - 1.0) ** 2)
+                g = jnp.mean(batch["x"], axis=0)
+                new = {"w": state["w"] - 0.1 * g, "step": state["step"] + 1}
+                return new, {"train/loss": loss}
+
+        dm = _ToyDataModule(poison_passes={2})  # epoch 1's batch poisons w
+        trainer = _trainer(tmp_path)
+        trainer.fit(_NaNUpdateTask(), dm)
+        # the logged loss stayed finite; only the state scan could detect it
+        assert trainer.failure_guard.restores_used == 1
+        assert np.isfinite(np.asarray(trainer.state["w"])).all()
+
+    def test_scan_state_names_offending_leaf(self):
+        g = FailureGuard()
+        clean = {"w": jnp.ones((3,)), "step": jnp.zeros((), jnp.int32)}
+        assert g.scan_state(clean) is None
+        poisoned = {"w": jnp.array([1.0, np.nan, 0.0]), "step": jnp.zeros((), jnp.int32)}
+        reason = g.scan_state(poisoned)
+        assert reason is not None and "w" in reason
+
     def test_guard_off_by_default(self, tmp_path):
         # without a guard the poisoned step trains through (documents the
         # default-off behavior: zero change to existing recipes)

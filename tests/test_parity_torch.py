@@ -255,6 +255,7 @@ class TestBalancingLambdaParity:
         from vibravox_tpu.models.eben_generator import EBENGenerator
         from vibravox_tpu.ops.stft import MultiResolutionSTFTLoss
         from vibravox_tpu.tasks.eben import EBENTask
+        from vibravox_tpu.tasks.eben_oracle import balancing_lambdas_naive
 
         torch.manual_seed(7)
         tg = TorchEBEN(m=4, n=32, p=2)
@@ -284,7 +285,7 @@ class TestBalancingLambdaParity:
         ]
         torch_lambdas = [min(max(1 / (n + 1e-4), 0.0), 1e4) for n in torch_norms]
 
-        # ---- jax lambdas (EBENTask._balancing_lambdas) ----
+        # ---- jax lambdas (eben_oracle.balancing_lambdas_naive) ----
         gen = EBENGenerator(m=4, n=32, p=2)
         disc = DiscriminatorEBENMultiScales(q=4, min_channels=24)
         task = EBENTask(
@@ -315,6 +316,6 @@ class TestBalancingLambdaParity:
         state = state.replace(gen_params=gen_params, disc_params=disc_params)
         features, first_bands = gen.apply(gen_params, xj, method="front")
         dec_ref_j = gen.pqmf.analysis(refj)
-        lambdas, norms = task._balancing_lambdas(state, features, first_bands, refj, dec_ref_j)
+        lambdas, norms = balancing_lambdas_naive(task, state, features, first_bands, refj, dec_ref_j)
         np.testing.assert_allclose(np.asarray(norms), torch_norms, rtol=2e-3)
         np.testing.assert_allclose(np.asarray(lambdas), torch_lambdas, rtol=2e-3)

@@ -10,10 +10,17 @@ the only restore point.  This subsystem closes that hole:
 * ``FailureGuard.scan`` inspects the (already host-synced) per-step training
   logs for non-finite values, and optionally for divergence past an absolute
   loss bound.  Scans piggyback on the values the Trainer floats anyway at
-  the logging cadence plus once per epoch end, so steady-state overhead is
-  zero extra device syncs.  A NaN/Inf in the parameters propagates to every
-  later loss value, so the end-of-epoch scan is a sound barrier: a poisoned
-  state can never reach ``CheckpointManager.save``.
+  the logging cadence, so steady-state overhead is zero extra device syncs.
+  With a sparse logging cadence a NaN at step N+1 would train on garbage
+  until the next logged step — ``scan_every_n_steps`` adds denser scans at
+  the cost of one host sync (device round-trip) per scan.
+* ``FailureGuard.scan_state`` is the end-of-epoch barrier: a jitted
+  isfinite-all reduction over every floating leaf of the train state
+  (params AND optimizer state), one scalar readback per epoch.  Scanning
+  the logged *losses* alone is NOT sound there — the epoch's final step's
+  backward can mint non-finite grads/params while its (pre-update) forward
+  loss is finite — so the Trainer verifies the state directly before any
+  ``CheckpointManager.save`` can overwrite ``last``.
 * On detection the Trainer restores the ``last`` checkpoint (parameters,
   optimizer state, epoch/step progress) and resumes, at most
   ``max_restores`` times; with no checkpoint or an exhausted budget it
@@ -55,10 +62,18 @@ class FailureGuard:
     fails loudly instead of livelocking.  ``max_loss`` (optional) flags
     divergence: any logged value whose key contains ``"loss"`` with
     ``|value| > max_loss``.  Non-finite values are flagged on every key.
+    ``scan_every_n_steps`` (optional) scans the step logs every N steps in
+    addition to the logging cadence — each extra scan costs one host sync
+    (the logs must be floated), trading step-pipeline overlap for detection
+    latency; at the default ``None`` detection waits for the next logged
+    step (up to ``log_every_n_steps - 1`` garbage steps, bounded-loss risk
+    only, since the epoch-end ``scan_state`` barrier still protects the
+    checkpoint).
     """
 
     max_restores: int = 2
     max_loss: Optional[float] = None
+    scan_every_n_steps: Optional[int] = None
     restores_used: int = field(default=0, init=False)
 
     def scan(self, logs: Dict[str, float]) -> Optional[str]:
@@ -73,3 +88,45 @@ class FailureGuard:
             ):
                 return f"divergent training log {key}={value} (max_loss={self.max_loss})"
         return None
+
+    def scan_state(self, state) -> Optional[str]:
+        """Return a reason if any floating leaf of ``state`` is non-finite.
+
+        One jitted all-reduce over the state pytree + one scalar readback;
+        call at epoch end, immediately before ``CheckpointManager.save``.
+        """
+        if bool(_all_finite(state)):
+            return None
+        # cheap second pass on host to name the offending leaf
+        import jax
+        import numpy as np
+
+        for path, leaf in jax.tree_util.tree_leaves_with_path(state):
+            if hasattr(leaf, "dtype") and np.issubdtype(leaf.dtype, np.floating):
+                if not bool(np.all(np.isfinite(np.asarray(leaf)))):
+                    return f"non-finite state leaf {jax.tree_util.keystr(path)}"
+        return "non-finite value in train state"
+
+
+_ALL_FINITE_JIT = None  # cached jitted reduction (retraces per pytree structure)
+
+
+def _all_finite(state):
+    global _ALL_FINITE_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _ALL_FINITE_JIT is None:
+
+        def check(st):
+            leaves = [
+                leaf
+                for leaf in jax.tree_util.tree_leaves(st)
+                if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+            ]
+            if not leaves:
+                return jnp.asarray(True)
+            return jnp.stack([jnp.all(jnp.isfinite(x)) for x in leaves]).all()
+
+        _ALL_FINITE_JIT = jax.jit(check)
+    return _ALL_FINITE_JIT(state)

@@ -167,20 +167,32 @@ class Trainer:
         epoch = self.current_epoch
         while epoch < self.max_epochs:
             self.current_epoch = epoch
+            if hasattr(train_loader, "set_epoch"):
+                # key the shuffle to the trainer epoch, so resumed runs see
+                # epoch-N order, not a replay of pass-1 (data/loader.py)
+                train_loader.set_epoch(epoch)
             epoch_t0 = time.perf_counter()
             audio_seconds = 0.0
             anomaly: Optional[str] = None
             logs: Optional[Dict[str, Any]] = None
+            preempted_mid_epoch = False
+            stepped = False
             for i, batch in enumerate(train_loader):
                 if self.limit_train_batches is not None and i >= self.limit_train_batches:
                     break
                 if self._preempt_signum is not None:
-                    break  # don't start a new step under a preemption deadline
+                    # don't start a new step under a preemption deadline; a
+                    # signal that landed DURING the epoch's final step does
+                    # not reach here — the loader exhausts first and the
+                    # fully-completed epoch takes the normal val/save path
+                    preempted_mid_epoch = True
+                    break
                 if self.profile_dir and self.global_step == 8:
                     profiler_trace = trace_window(self.profile_dir).__enter__()
                 timer.start()
                 self.state, logs = dp.train_step(self.state, batch)
                 timer.stop()
+                stepped = True
                 if profiler_trace is not None and self.global_step == 10:
                     jax.block_until_ready(self.state)
                     profiler_trace.__exit__()
@@ -188,32 +200,44 @@ class Trainer:
                 x = batch.get("audio_body_conducted", batch.get("audio"))
                 if x is not None:
                     audio_seconds += x.shape[0] * x.shape[1] / task.sample_rate
-                if self.global_step % self.log_every_n_steps == 0:
+                # guard scans piggyback on the logging cadence (the logs are
+                # floated — host-synced — there anyway); scan_every_n_steps
+                # adds denser scans, each costing one extra host sync
+                should_log = self.global_step % self.log_every_n_steps == 0
+                scan_n = (
+                    self.failure_guard.scan_every_n_steps
+                    if self.failure_guard is not None
+                    else None
+                )
+                if should_log or (scan_n and self.global_step % scan_n == 0):
                     floated = _as_float_logs(logs)
-                    self.logger.log_scalars(floated, self.global_step)
+                    if should_log:
+                        self.logger.log_scalars(floated, self.global_step)
                     if self.failure_guard is not None:
                         anomaly = self.failure_guard.scan(floated)
                         if anomaly is not None:
                             break
                 self.global_step += 1
-                if self._preempt_signum is not None:
-                    break
             jax.block_until_ready(self.state)
-            # end-of-epoch barrier: a NaN/Inf anywhere in the epoch propagates
-            # to the final step's losses, so this scan guarantees a poisoned
-            # state never reaches checkpoint.save below (core/guard.py)
+            # end-of-epoch barrier (core/guard.py): scan the final step's
+            # logs AND the state itself — the final backward/update can mint
+            # non-finite grads/params while its pre-update forward loss is
+            # still finite, so the state scan is what actually guarantees a
+            # poisoned state never reaches checkpoint.save below
             if anomaly is None and self.failure_guard is not None and logs is not None:
                 anomaly = self.failure_guard.scan(_as_float_logs(logs))
+            if anomaly is None and self.failure_guard is not None and stepped:
+                anomaly = self.failure_guard.scan_state(self.state)
             if anomaly is not None:
                 epoch = self._recover(anomaly)
                 continue
-            if self._preempt_signum is not None:
+            if preempted_mid_epoch:
                 # save with the previous epoch's marker so the resubmitted
                 # job replays the interrupted epoch from its start (the
                 # guard scan above already certified the state is clean);
                 # skip the save when no step ran since the last epoch-end
                 # save (same global_step — that checkpoint already exists)
-                if logs is not None:
+                if stepped:
                     self.checkpoint.save(
                         self.state, self.global_step, {},
                         trainer_state={"epoch": epoch - 1, "global_step": self.global_step},
@@ -244,6 +268,17 @@ class Trainer:
                     self.state, self.global_step, val_metrics,
                     trainer_state={"epoch": epoch, "global_step": self.global_step},
                 )
+            if self._preempt_signum is not None:
+                # signal landed during the epoch's final step or validation:
+                # the epoch completed and was saved as such above (monitor/
+                # top-k included); exit for resubmission — the resumed job
+                # starts the NEXT epoch instead of replaying this one
+                self.logger.log_text(
+                    "preemption",
+                    f"signal {self._preempt_signum}: epoch {epoch} completed "
+                    f"and checkpointed; exiting for resubmission",
+                )
+                return
             epoch += 1
 
     def _on_preempt(self, signum, frame) -> None:

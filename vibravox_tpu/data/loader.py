@@ -48,6 +48,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        self._epoch_pinned = False
         # iterable (streaming) sources have no len/__getitem__: batches are
         # drawn from the stream through a shuffle buffer instead of an index
         # permutation (the reference's streaming=True HF path — bwe.py:108)
@@ -57,6 +58,16 @@ class DataLoader:
             self.process_slice = (jax.process_index(), jax.process_count())
         else:
             self.process_slice = (0, 1)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Key the NEXT pass's shuffle to the trainer epoch (torch
+        ``DistributedSampler.set_epoch`` pattern).  Without it the shuffle is
+        keyed to the per-process ``__iter__`` count, so a preemption-resumed
+        run replays the permutation sequence from pass 1 — resumed epoch N
+        would see the same data order as the original run's epoch 0.  The
+        Trainer calls this with ``current_epoch`` at each epoch start."""
+        self.epoch = int(epoch)
+        self._epoch_pinned = True
 
     def _epoch_rng(self) -> np.random.Generator:
         """Per-epoch rng as a PURE function of (seed, epoch): no hidden
@@ -123,7 +134,10 @@ class DataLoader:
             yield self.collate_fn(pending)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        self.epoch += 1
+        if self._epoch_pinned:
+            self._epoch_pinned = False
+        else:
+            self.epoch += 1
         if self.prefetch <= 0:
             yield from self._batches()
             return

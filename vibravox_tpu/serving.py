@@ -145,9 +145,15 @@ class EnhanceServer:
             target = inner
         else:
             target = fut
-        self._queue.put(
-            _Request(target, audio, self._bucket_for(len(audio)), time.perf_counter())
-        )
+        # the closed-check + enqueue must be atomic with close()'s
+        # closed-transition: otherwise a request enqueued between close()'s
+        # sentinel and its drain would hang its caller on .result() forever
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(
+                _Request(target, audio, self._bucket_for(len(audio)), time.perf_counter())
+            )
         return fut
 
     def enhance(self, audio: np.ndarray, input_sample_rate: Optional[int] = None) -> np.ndarray:
@@ -164,20 +170,25 @@ class EnhanceServer:
             }
 
     def close(self) -> None:
-        if not self._closed:
+        # the closed-transition + sentinel happen under the same lock as
+        # submit's closed-check + enqueue, so no request can land behind the
+        # sentinel; the join and drain run outside the lock (the join can
+        # take seconds — submit must fail fast, not block on it)
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._worker.join(timeout=30)
-            # fail any request that raced past the _closed check and landed
-            # behind the shutdown sentinel — otherwise its caller blocks on
-            # .result() forever
-            while True:
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if req is not None:
-                    req.future.set_exception(RuntimeError("server is closed"))
+        self._worker.join(timeout=30)
+        # belt-and-braces: fail anything still queued (cannot happen via
+        # submit any more, but keeps the invariant under future edits)
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.future.set_exception(RuntimeError("server is closed"))
 
     # ------------------------------------------------------------------ #
 
