@@ -98,14 +98,13 @@ class TestDataScripts:
     def test_gen_pairs_for_spkv_synthetic(self, tmp_path):
         from vibravox_tpu.scripts.gen_pairs_for_spkv import main
 
-        out = tmp_path / "pairs.pkl"
-        main([
-            "--dataset", "synthetic", "--n-pairs", "12",
-            "--gender-policy", "mixed_gender", "--output", str(out),
-        ])
-        with open(out, "rb") as f:
-            pairs = pickle.load(f)
-        assert len(pairs) == 12
+        main(["--dataset", "synthetic", "--output-dir", str(tmp_path)])
+        # synthetic test split: 4 speakers × 6 utterances → min_utterances=6,
+        # C(6,2)=15 → 4×15 same + 4×15 different = 120 for both policies
+        for policy in ("mixed_gender", "same_gender"):
+            with open(tmp_path / f"{policy}.pkl", "rb") as f:
+                pairs = pickle.load(f)
+            assert len(pairs) == 120
 
     def test_upload_vibravox_mixed_for_spkv_synthetic(self, tmp_path):
         from vibravox_tpu.scripts.upload_vibravox_mixed_for_spkv import main
@@ -164,3 +163,42 @@ class TestSweep:
         main([str(table), "--dry-run"])
         outp = capsys.readouterr().out
         assert "bwe" in outp and "stp" in outp
+
+
+class TestWeightsDayRunbook:
+    """The weights-day runbook's offline dry-run must stay green so the
+    network day is a single command (see BASELINE.md "Weights day")."""
+
+    def test_offline_dry_run_end_to_end(self, tmp_path):
+        import json
+        import os
+
+        from vibravox_tpu.scripts.weights_day import main
+
+        env_before = {
+            k: os.environ.get(k) for k in ("VIBRAVOX_ECAPA2_CKPT", "VIBRAVOX_SQUIM_DIR")
+        }
+        out = tmp_path / "REAL_DATA.md"
+        main([
+            "--stage", "all", "--offline-dry-run",
+            "--cache-dir", str(tmp_path / "cache"),
+            "--output", str(out),
+        ])
+        # every converter ran its fail-loudly path and staged an artifact
+        manifest = json.loads((tmp_path / "cache/staged/manifest.json").read_text())
+        for key in (
+            "eben_temple_vibration_pickup", "phonemizer_throat_microphone",
+            "ecapa2", "squim", "mimi",
+        ):
+            assert key in manifest, f"missing staged artifact {key}"
+        # all five parity configs composed + instantiated
+        text = out.read_text()
+        for name in (
+            "spkv_ecapa2_eval", "stp_wav2vec2_throat", "bwe_eben_throat",
+            "noisy_bwe_from_pretrained_eben", "mimi_regressive_bwe",
+        ):
+            assert name in text, f"missing parity row {name}"
+        assert "compose+instantiate ok" in text
+        # dry-run twins must not leak checkpoint env vars into the process
+        for k, v in env_before.items():
+            assert os.environ.get(k) == v

@@ -45,20 +45,41 @@ class TestVerificationMetrics:
 
 
 class TestTrialPairs:
-    def test_generation_balanced_and_seeded(self):
-        speakers = [str(i % 4) for i in range(40)]
-        genders = ["male" if i % 2 else "female" for i in range(40)]
-        p1 = generate_trial_pairs(speakers, genders, 50, seed=7)
-        p2 = generate_trial_pairs(speakers, genders, 50, seed=7)
+    """Reference construction (ref scripts/gen_pairs_for_spkv.py:91-186);
+    bit-exact parity with the committed pickles is in test_spkv_pairs.py."""
+
+    # speaker-sorted, contiguous blocks with unequal counts (5, 7, 5, 6)
+    SPEAKERS = ["0"] * 5 + ["1"] * 7 + ["2"] * 5 + ["3"] * 6
+    GENDERS = ["female"] * 5 + ["male"] * 7 + ["female"] * 5 + ["male"] * 6
+
+    def test_construction_and_determinism(self):
+        p1 = generate_trial_pairs(self.SPEAKERS, self.GENDERS, seed=7)
+        p2 = generate_trial_pairs(self.SPEAKERS, self.GENDERS, seed=7)
         assert p1 == p2
-        assert len(p1) == 50
-        same = sum(speakers[a] == speakers[b] for a, b in p1)
-        assert 10 < same < 40  # roughly balanced
+        # min_utterances=5 → C(5,2)=10 per speaker: 40 same + 40 different,
+        # same-speaker section first
+        assert len(p1) == 80
+        assert all(self.SPEAKERS[a] == self.SPEAKERS[b] for a, b in p1[:40])
+        assert all(self.SPEAKERS[a] != self.SPEAKERS[b] for a, b in p1[40:])
+        # every different-speaker pair's target lies in its speaker's range
+        # and ranges are TRUNCATED to min_utterances: speaker 1's indices
+        # 10-11 and speaker 3's index 22 never appear
+        used = {i for pair in p1 for i in pair}
+        assert used.isdisjoint({10, 11, 22})
+
+    def test_same_gender_policy_stays_within_gender(self):
+        pairs = generate_trial_pairs(self.SPEAKERS, self.GENDERS, "same_gender", seed=7)
+        assert len(pairs) == 80
+        assert all(self.GENDERS[a] == self.GENDERS[b] for a, b in pairs)
+
+    def test_non_contiguous_speakers_rejected(self):
+        with pytest.raises(ValueError):
+            generate_trial_pairs(["a", "b", "a"], ["male"] * 3)
 
 
 @pytest.fixture(scope="module")
 def spkv_dm():
-    dm = SPKVDataModule(dataset_name="synthetic", synthetic_size=12, n_synthetic_pairs=16)
+    dm = SPKVDataModule(dataset_name="synthetic", synthetic_size=12)
     dm.setup("test")
     return dm
 
@@ -73,7 +94,9 @@ class TestSPKVDataModule:
             assert side["audio"].ndim == 2
 
     def test_pair_count(self, spkv_dm):
-        assert len(spkv_dm.test_dataloader()) == 16
+        # 4 synthetic speakers × 3 utterances → min_utterances=3, C(3,2)=3:
+        # 4×3 same + 4×3 different = 24 trials (reference construction)
+        assert len(spkv_dm.test_dataloader()) == 24
 
 
 class TestSPKVTask:

@@ -122,3 +122,68 @@ class TestReferencePairPickles:
             pairs = pickle.load(f)
         assert len(pairs) == 96
         assert all(isinstance(a, int) and isinstance(b, int) for a, b in pairs)
+
+
+@requires_pairs
+class TestPairGeneratorReferenceParity:
+    """``generate_trial_pairs`` reproduces the reference's committed pickles
+    BIT-FOR-BIT.
+
+    The speaker statistics (per-speaker index ranges, min_utterances, gender
+    partition) are recovered from the pickles themselves: the same-speaker
+    section is the deterministic per-speaker ``combinations`` output, so the
+    block offsets give the ranges, and the same-gender list's block order
+    (males first) gives the gender split.  Regenerating both lists from one
+    ``random.Random(42)`` stream (mixed first — the reference script's order
+    under ``seed_everything(42)``, ref ``scripts/gen_pairs_for_spkv.py:
+    209-223``) must then reproduce every pair, including the random
+    different-speaker draws."""
+
+    @staticmethod
+    def _recover_stats(mixed, same_gender):
+        import math
+
+        m = 1
+        while mixed[m - 1][0] == 0:
+            m += 1
+        k = math.comb(m, 2)
+        n_speakers = (len(mixed) // 2) // k
+        offsets = [mixed[i * k][0] for i in range(n_speakers)]
+        offsets_g = [same_gender[i * k][0] for i in range(n_speakers)]
+        split = next(
+            (i for i in range(1, n_speakers) if offsets_g[i] < offsets_g[i - 1]),
+            n_speakers,
+        )
+        male_offsets = set(offsets_g[:split])
+        max_idx = max(max(a, b) for a, b in mixed)
+        counts = [offsets[i + 1] - offsets[i] for i in range(n_speakers - 1)]
+        counts.append(max(max_idx + 1 - offsets[-1], m))
+        speaker_ids, genders = [], []
+        for i, c in enumerate(counts):
+            speaker_ids += [f"{i:03d}"] * c
+            genders += ["male" if offsets[i] in male_offsets else "female"] * c
+        return speaker_ids, genders
+
+    @pytest.mark.parametrize(
+        "subdir,expected_len",
+        [("", 98532), ("vibravox-test/speech_clean", 96), ("vibravox-test/speech_noisy", 96)],
+    )
+    def test_bit_identical_regeneration(self, subdir, expected_len):
+        import random
+
+        from vibravox_tpu.data.spkv import generate_trial_pairs
+
+        base = os.path.join(_PAIRS_DIR, subdir)
+        with open(os.path.join(base, "mixed_gender.pkl"), "rb") as f:
+            mixed = pickle.load(f)
+        with open(os.path.join(base, "same_gender.pkl"), "rb") as f:
+            same_gender = pickle.load(f)
+        assert len(mixed) == len(same_gender) == expected_len
+
+        speaker_ids, genders = self._recover_stats(mixed, same_gender)
+        rng = random.Random(42)
+        assert generate_trial_pairs(speaker_ids, genders, "mixed_gender", rng=rng) == mixed
+        assert (
+            generate_trial_pairs(speaker_ids, genders, "same_gender", rng=rng)
+            == same_gender
+        )

@@ -10,7 +10,10 @@ metadata — the CombinedLoader(min_size) equivalent is a plain zip.
 
 from __future__ import annotations
 
+import itertools
+import math
 import pickle
+import random
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -19,7 +22,7 @@ import numpy as np
 from vibravox_tpu.data.loader import DataLoader
 from vibravox_tpu.data.sources import SyntheticVibravoxSource
 
-__all__ = ["SPKVDataModule", "SPKVCollate", "generate_trial_pairs"]
+__all__ = ["SPKVDataModule", "SPKVCollate", "generate_trial_pairs", "speaker_ranges"]
 
 
 class SPKVCollate:
@@ -42,42 +45,97 @@ class SPKVCollate:
         }
 
 
+def speaker_ranges(speaker_ids: Sequence[str]) -> Tuple[List[List[int]], int]:
+    """Per-speaker index ranges truncated to the minimum utterance count.
+
+    The reference's ``generate_ranges_per_speaker``
+    (``scripts/gen_pairs_for_spkv.py:94-124``): over a dataset SORTED by
+    ``speaker_id``, each speaker occupies one contiguous index block;
+    ``ranges[i]`` is the FIRST ``min_utterances`` indices of speaker *i*'s
+    block (offsets accumulate the FULL per-speaker counts, so the tail of a
+    longer block is simply never paired).  Returns ``(ranges,
+    min_utterances)``.
+    """
+    counts: List[int] = []
+    seen: Dict[str, int] = {}
+    last: Optional[str] = None
+    for sid in map(str, speaker_ids):
+        if sid != last:
+            if sid in seen:
+                raise ValueError(
+                    f"speaker {sid!r} is not contiguous — sort by speaker_id first"
+                )
+            seen[sid] = len(counts)
+            counts.append(0)
+            last = sid
+        counts[seen[sid]] += 1
+    if not counts:
+        return [], 0
+    min_utterances = min(counts)
+    offset = 0
+    ranges = []
+    for c in counts:
+        ranges.append(list(range(offset, offset + min_utterances)))
+        offset += c
+    return ranges, min_utterances
+
+
 def generate_trial_pairs(
     speaker_ids: Sequence[str],
     genders: Sequence[str],
-    n_pairs: int,
     gender_policy: str = "mixed_gender",
     seed: int = 42,
+    rng: Optional[random.Random] = None,
 ) -> List[Tuple[int, int]]:
-    """Brydinskyi-style trial list: ~50% same-speaker pairs, seeded.
+    """The reference's trial-list construction, exactly
+    (``scripts/gen_pairs_for_spkv.py:91-186``).
 
-    The equivalent of ``scripts/gen_pairs_for_spkv.py`` (223 LoC there);
-    ``gender_policy`` ∈ {mixed_gender, same_gender}.
+    For every speaker: ALL same-speaker ``combinations(range_i, 2)`` (ranges
+    truncated to ``min_utterances``, see :func:`speaker_ranges`), plus a
+    structurally matched ``comb(min_utterances, 2)`` random different-speaker
+    pairs — target drawn from the speaker's own range, partner as a (other
+    speaker, utterance slot) double draw.  All same-speaker pairs precede all
+    different-speaker pairs in the output.  ``same_gender`` runs the same
+    construction within each gender group (males first, then females — the
+    gender of a speaker's first utterance decides, non-"male" counting as
+    female, matching ``get_gender_per_speaker``).
+
+    Randomness comes from :mod:`random` (Mersenne Twister) through the same
+    ``choices`` call sequence as the reference, so with identical speaker
+    statistics and a fresh ``Random(42)`` the output is bit-identical to a
+    reference run under ``seed_everything(42)``.  Pass ``rng`` to continue an
+    existing stream (the reference script generates the mixed- then the
+    same-gender list from ONE seeded stream — see
+    ``vibravox_tpu/scripts/gen_pairs_for_spkv.py``).
     """
-    rng = np.random.default_rng(seed)
-    by_speaker: Dict[str, List[int]] = {}
-    for i, spk in enumerate(speaker_ids):
-        by_speaker.setdefault(spk, []).append(i)
-    speakers = sorted(by_speaker)
-    pairs: List[Tuple[int, int]] = []
-    attempts = 0
-    while len(pairs) < n_pairs and attempts < n_pairs * 50:
-        attempts += 1
-        if rng.random() < 0.5 and any(len(v) > 1 for v in by_speaker.values()):
-            spk = speakers[rng.integers(len(speakers))]
-            if len(by_speaker[spk]) < 2:
-                continue
-            a, b = rng.choice(by_speaker[spk], size=2, replace=False)
-        else:
-            if len(speakers) < 2:
-                continue
-            s1, s2 = rng.choice(len(speakers), size=2, replace=False)
-            a = by_speaker[speakers[s1]][rng.integers(len(by_speaker[speakers[s1]]))]
-            b = by_speaker[speakers[s2]][rng.integers(len(by_speaker[speakers[s2]]))]
-            if gender_policy == "same_gender" and genders[a] != genders[b]:
-                continue
-        pairs.append((int(a), int(b)))
-    return pairs
+    if rng is None:
+        rng = random.Random(seed)
+    ranges, min_utterances = speaker_ranges(speaker_ids)
+    nb_speakers = len(ranges)
+    k = math.comb(min_utterances, 2)
+
+    if gender_policy == "same_gender":
+        males = [i for i in range(nb_speakers) if str(genders[ranges[i][0]]) == "male"]
+        females = [i for i in range(nb_speakers) if str(genders[ranges[i][0]]) != "male"]
+        groups = [males, females]
+    else:
+        groups = [list(range(nb_speakers))]
+
+    same: List[Tuple[int, int]] = []
+    different: List[Tuple[int, int]] = []
+    for group in groups:
+        for speaker in group:
+            same += list(itertools.combinations(ranges[speaker], r=2))
+            other_speakers = [i for i in group if i != speaker]
+            # draw order matters for stream parity with the reference:
+            # targets, then partner speakers, then partner utterance slots
+            targets = rng.choices(ranges[speaker], k=k)
+            partner_speaker = rng.choices(other_speakers, k=k)
+            partner_slot = rng.choices(range(min_utterances), k=k)
+            different += list(
+                zip(targets, (ranges[s][u] for s, u in zip(partner_speaker, partner_slot)))
+            )
+    return [(int(a), int(b)) for a, b in same + different]
 
 
 class _SelectedSource:
@@ -112,7 +170,6 @@ class SPKVDataModule:
         batch_size: int = 1,
         num_workers: int = 1,
         synthetic_size: int = 24,
-        n_synthetic_pairs: int = 96,
         seed: int = 42,
         **_unused,
     ):
@@ -126,7 +183,6 @@ class SPKVDataModule:
         self.gender_policy = gender_policy
         self.batch_size = batch_size
         self.synthetic_size = synthetic_size
-        self.n_synthetic_pairs = n_synthetic_pairs
         self.seed = seed
         self._test_sources = None
 
@@ -213,7 +269,6 @@ class SPKVDataModule:
             pairs = generate_trial_pairs(
                 [str(r["speaker_id"]) for r in rows],
                 [str(r["gender"]) for r in rows],
-                self.n_synthetic_pairs,
                 self.gender_policy,
                 seed=self.seed,
             )
