@@ -1,17 +1,25 @@
 """Benchmark: train-step throughput (audio-seconds/sec/chip) + MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu"}.
+Prints one JSON line per measured regime — {"metric", "task", "batch_size",
+"value", "unit", "vs_baseline", "mfu", ...} — with the HEADLINE line LAST
+(the driver parses the final line).  The default EBEN task emits both the
+reference's training recipe (batch 32) and the batch-128 hardware ceiling;
+pinning VIBRAVOX_BENCH_BATCH emits just that one.
 
-Default task is the headline EBEN BWE GAN step; ``--task stp`` (wav2vec2-base
-CTC — the heaviest transformer in the repo) and ``--task mimi`` (Mimi
-encoder-side regressive step) bench the other training families so a
-regression there is visible.  Env knobs: VIBRAVOX_BENCH_TASK,
-VIBRAVOX_BENCH_BATCH.
+``--task stp`` (wav2vec2-base CTC — the heaviest transformer in the repo)
+and ``--task mimi`` (Mimi encoder-side regressive step) bench the other
+training families so a regression there is visible.  Env knobs:
+VIBRAVOX_BENCH_TASK, VIBRAVOX_BENCH_BATCH.
 
-``mfu`` is measured FLOPs (XLA cost analysis of the compiled step) / step
-time / 197 TF/s (v5e bf16 peak); null when cost analysis is unavailable.
-``vs_baseline`` is the ratio against a measured PyTorch-reference
-throughput stored in BENCH_BASELINE.json (key
+``mfu`` is measured FLOPs / step time / 197 TF/s (v5e bf16 peak); null when
+cost analysis is unavailable.  The FLOP numerator is deflated to the
+UNPACKED program's algorithmic work whenever packed space-to-depth kernels
+are active (``flops_basis: "plain"``) — packing adds dense zero-block FLOPs
+that would inflate MFU.  The deflator is the plain/packed ratio of two
+CPU-compiled cost analyses of the same step (computed in a subprocess and
+disk-cached — see ``_plain_flops_ratio``); the raw packed-program figure is
+kept as ``mfu_packed_program``.  ``vs_baseline`` is the ratio against a
+measured PyTorch-reference throughput stored in BENCH_BASELINE.json (key
 ``torch_reference_audio_sec_per_sec``); null until that measurement exists.
 """
 
@@ -95,6 +103,126 @@ def _step_flops(dp, state, batch):
         return flops if flops > 0 else None
     except Exception:
         return None
+
+
+# Packed space-to-depth kernels trade dense zero-block FLOPs for lane
+# occupancy, so cost analysis of the PACKED program overstates useful work
+# (round-3 verdict: b32 EBEN mfu 0.22 reported vs ~0.155 real).  The honest
+# MFU is plain-path FLOPs / packed-path time.
+_PACKING_FLAGS = ("VIBRAVOX_PACKED_RU", "VIBRAVOX_PACKED_DISC", "VIBRAVOX_PACKED_SEANET")
+
+# Subprocess body: CPU-compiled cost analysis of the train step, packed
+# (inherited flags) then plain (flags off).  Runs on XLA:CPU because the
+# axon backend returns None from Lowered.cost_analysis, and because the
+# LOWERING-stage count is pre-optimization (measured ~27% above the
+# compiled count at EBEN b32 — CSE/simplification remove real FLOPs), so
+# both legs must be COMPILED, and compiling the plain program on the TPU
+# tunnel just for its FLOP count would cost ~10 cold minutes.  Using the
+# same backend for both legs cancels any per-backend counting conventions;
+# only the ratio leaves this process.
+_RATIO_CHILD = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+os.chdir({repo!r})
+from vibravox_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import bench
+from vibravox_tpu.parallel.mesh import shard_batch
+
+
+def compiled_flops():
+    _, dp, state, batch, _ = bench._TASKS[{task!r}][0]({bs!r})
+    arrays, _ = dp.split_batch(batch)
+    c = dp._train_step.lower(state, shard_batch(dp.mesh, arrays)).compile()
+    cost = c.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", -1.0))
+
+
+out = {{"packed": compiled_flops()}}
+for k in bench._PACKING_FLAGS:
+    os.environ[k] = "0"
+out["plain"] = compiled_flops()
+print("RATIO_JSON:" + json.dumps(out))
+"""
+
+
+def _package_source_digest() -> str:
+    """Content hash of the compute-path sources the FLOP ratio depends on."""
+    import hashlib
+
+    root = Path(__file__).parent
+    h = hashlib.sha256()
+    for p in sorted((root / "vibravox_tpu").rglob("*.py")) + [root / "bench.py"]:
+        h.update(str(p.relative_to(root)).encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def _plain_flops_ratio(task, batch_size):
+    """plain/packed FLOP ratio of this task's train step at this batch size
+    (<= 1.0; None when unavailable).  Computed by ``_RATIO_CHILD`` in a CPU
+    subprocess and cached on disk keyed by (task, batch, packing env, jax
+    version, package source hash) — packing gates are batch-dependent
+    (e.g. packed residual stacks auto-disable past batch 64), so the ratio
+    is per-regime.  VIBRAVOX_BENCH_PLAIN_FLOPS=0 disables the subprocess."""
+    import subprocess
+    import sys
+
+    import jax
+
+    if os.environ.get("VIBRAVOX_BENCH_PLAIN_FLOPS", "1") != "1":
+        return None
+    if task not in ("eben", "mimi"):  # tasks with no packed ops: exact as-is
+        return 1.0
+    key = "|".join(
+        [
+            task,
+            str(batch_size),
+            *(f"{k}={os.environ.get(k, '')}" for k in _PACKING_FLAGS),
+            jax.__version__,
+            _package_source_digest(),
+        ]
+    )
+    cache_path = Path(
+        os.environ.get(
+            "VIBRAVOX_TPU_CACHE", os.path.expanduser("~/.cache/vibravox_tpu_xla")
+        )
+    ) / "plain_flops_ratio.json"
+    try:
+        cache = json.loads(cache_path.read_text())
+    except Exception:
+        cache = {}
+    if key in cache:
+        return cache[key]
+    child = _RATIO_CHILD.format(repo=str(Path(__file__).parent), task=task, bs=batch_size)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", child], capture_output=True, text=True, timeout=900
+        )
+        line = next(
+            l for l in proc.stdout.splitlines() if l.startswith("RATIO_JSON:")
+        )
+        out = json.loads(line[len("RATIO_JSON:"):])
+        ratio = out["plain"] / out["packed"]
+        if not (0 < ratio <= 1.001):
+            return None
+    except Exception:
+        return None
+    cache[key] = ratio
+    try:
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        cache_path.write_text(json.dumps(cache, indent=1))
+    except OSError:
+        pass
+    return ratio
 
 
 def _bench_eben(batch_size):
@@ -299,6 +427,8 @@ def _run_spkv(batch_size) -> None:
         json.dumps(
             {
                 "metric": "ecapa2_embed_throughput",
+                "task": "spkv",
+                "batch_size": batch_size,
                 "value": round(batch_size * seconds / dt / n_chips, 3),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": None,
@@ -361,6 +491,8 @@ def _run_codec(batch_size) -> None:
         json.dumps(
             {
                 "metric": "mimi_codec_roundtrip_throughput",
+                "task": "codec",
+                "batch_size": batch_size,
                 "value": round(batch_size * seconds / dt / n_chips, 3),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": None,
@@ -403,6 +535,8 @@ def _run_serve(batch_size) -> None:
         json.dumps(
             {
                 "metric": "eben_serving_latency_p50",
+                "task": "serve",
+                "batch_size": batch_size,
                 "value": round(stats["latency_p50_ms"], 3),
                 "unit": "ms",
                 "vs_baseline": None,
@@ -441,35 +575,61 @@ def main(argv=None) -> None:
     if args.task == "codec":
         _run_codec(batch_size)
         return
-    metric, dp, state, batch, audio_seconds = build(batch_size)
 
-    n_chips = jax.device_count()
-    dt, state, timing_mode = _measure(dp, state, batch)
-    throughput = audio_seconds / dt / n_chips
+    # EBEN emits BOTH regimes unless the batch was pinned explicitly: the
+    # reference's actual training recipe (batch 32 — ref configs/
+    # lightning_datamodule/bwe.yaml:8) first, then the batch-128 hardware
+    # -ceiling headline LAST (the driver parses the final JSON line)
+    if args.task == "eben" and "VIBRAVOX_BENCH_BATCH" not in os.environ:
+        batches = [32, batch_size] if batch_size != 32 else [32]
+    else:
+        batches = [batch_size]
 
-    flops = _step_flops(dp, state, batch)
-    mfu = flops / dt / (n_chips * V5E_BF16_PEAK) if flops else None
+    for bs in batches:
+        metric, dp, state, batch, audio_seconds = build(bs)
 
-    vs_baseline = None
-    baseline_path = Path(__file__).parent / "BENCH_BASELINE.json"
-    if args.task == "eben" and baseline_path.exists():
-        base = json.loads(baseline_path.read_text())
-        ref = base.get("torch_reference_audio_sec_per_sec")
-        if ref:
-            vs_baseline = throughput / float(ref)
+        n_chips = jax.device_count()
+        dt, state, timing_mode = _measure(dp, state, batch)
+        throughput = audio_seconds / dt / n_chips
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(throughput, 3),
-                "unit": "audio_sec/sec/chip",
-                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-                "mfu": round(mfu, 4) if mfu else None,
-                "timing": timing_mode,
-            }
+        # honest MFU: algorithmic (unpacked-program) FLOPs over the packed
+        # program's measured time; `mfu_packed_program` keeps the raw
+        # cost-analysis number for comparison when the two differ
+        packed_flops = _step_flops(dp, state, batch)
+        ratio = _plain_flops_ratio(args.task, bs) if packed_flops else None
+        plain_flops = packed_flops * ratio if (packed_flops and ratio) else None
+        flops = plain_flops or packed_flops
+        mfu = flops / dt / (n_chips * V5E_BF16_PEAK) if flops else None
+        mfu_packed = (
+            packed_flops / dt / (n_chips * V5E_BF16_PEAK) if packed_flops else None
         )
-    )
+
+        vs_baseline = None
+        baseline_path = Path(__file__).parent / "BENCH_BASELINE.json"
+        if args.task == "eben" and baseline_path.exists():
+            base = json.loads(baseline_path.read_text())
+            ref = base.get("torch_reference_audio_sec_per_sec")
+            if ref:
+                vs_baseline = throughput / float(ref)
+
+        record = {
+            "metric": metric,
+            "task": args.task,
+            "batch_size": bs,
+            "value": round(throughput, 3),
+            "unit": "audio_sec/sec/chip",
+            "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            "mfu": round(mfu, 4) if mfu else None,
+            "flops_basis": "plain" if plain_flops else ("packed" if packed_flops else None),
+            "timing": timing_mode,
+        }
+        if (
+            mfu_packed is not None
+            and plain_flops is not None
+            and abs(mfu_packed - mfu) > 5e-4
+        ):
+            record["mfu_packed_program"] = round(mfu_packed, 4)
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
