@@ -1,6 +1,7 @@
 """STP stack tests: phoneme tokenizer, collate, CTC task steps, PER metric."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -123,3 +124,110 @@ class TestSTPTask:
         metrics = stp_task.eval_metrics(outputs)
         assert "char_error_rate" in metrics
         assert metrics["char_error_rate"] >= 0
+
+
+class TestPackedFeatureConv:
+    """The space-to-depth matmul fast path of the feature-encoder convs
+    (models/wav2vec2.py::_FeatureConv) must match the plain XLA strided
+    conv exactly — values AND gradients (the encoder trains when
+    freeze_feature_encoder=False), at every (kernel, stride) in the
+    wav2vec2 stack and at non-divisible input lengths."""
+
+    @pytest.mark.parametrize(
+        "kernel,stride,cin,t",
+        [
+            (10, 5, 1, 2000),   # conv_0: waveform input
+            (10, 5, 1, 1998),   # T not divisible by the stride
+            (3, 2, 8, 321),     # conv_1..4 shape class, odd T
+            (2, 2, 8, 101),     # conv_5..6: kernel == stride
+        ],
+    )
+    def test_matches_plain_conv_and_grads(self, kernel, stride, cin, t, monkeypatch):
+        from vibravox_tpu.models.wav2vec2 import _FeatureConv
+
+        mod = _FeatureConv(
+            features=16, kernel_size=kernel, stride=stride, use_bias=True, dtype=None
+        )
+        x = jax.random.normal(jax.random.key(0), (2, t, cin), jnp.float32)
+        params = mod.init(jax.random.key(1), x)
+
+        def run(flag):
+            monkeypatch.setenv("VIBRAVOX_PACKED_W2V2", flag)
+            loss = lambda p, x: jnp.sum(jnp.tanh(mod.apply(p, x)))
+            val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+            return val, grads
+
+        v_packed, g_packed = run("1")
+        v_plain, g_plain = run("0")
+        assert np.allclose(v_packed, v_plain, rtol=1e-6, atol=1e-5)
+        # dW sums hundreds of products in a different order than the conv
+        # lowering — tolerance covers f32 accumulation noise only (measured
+        # max abs diff 3e-5 on grads of magnitude ~200)
+        for a, b in zip(jax.tree.leaves(g_packed), jax.tree.leaves(g_plain)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
+
+    def test_param_tree_matches_nn_conv(self):
+        """Checkpoint compatibility: same names/shapes as the nn.Conv tree
+        the converters (wav2vec2_params_from_torch) were built against."""
+        from vibravox_tpu.models.wav2vec2 import _FeatureConv
+        import flax.linen as nn
+
+        x = jnp.zeros((1, 50, 4))
+        new = _FeatureConv(
+            features=8, kernel_size=3, stride=2, use_bias=True, dtype=None
+        ).init(jax.random.key(0), x)
+        old = nn.Conv(
+            8, (3,), strides=(2,), padding="VALID", use_bias=True
+        ).init(jax.random.key(0), x)
+        assert jax.tree.structure(new) == jax.tree.structure(old)
+        for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(old)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+
+class TestNativeCTC:
+    """ops/ctc.py must reproduce optax.ctc_loss exactly (value and grad),
+    including repeated labels, label padding, frame padding, and every
+    unroll factor (unroll is a scan scheduling knob, not a math change)."""
+
+    def _random_case(self, seed, b=3, t=37, k=11, n=9):
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(rng.standard_normal((b, t, k)).astype(np.float32))
+        labels = rng.integers(1, k, size=(b, n))
+        labels[0, 2] = labels[0, 3]  # force a repeat (blank-mandatory path)
+        lab_lens = rng.integers(2, n + 1, size=(b,))
+        label_paddings = (np.arange(n)[None] >= lab_lens[:, None]).astype(np.float32)
+        labels = np.where(label_paddings > 0, 0, labels)
+        frame_lens = rng.integers(t - 5, t + 1, size=(b,))
+        logit_paddings = (np.arange(t)[None] >= frame_lens[:, None]).astype(np.float32)
+        return (
+            logits,
+            jnp.asarray(logit_paddings),
+            jnp.asarray(labels),
+            jnp.asarray(label_paddings),
+        )
+
+    @pytest.mark.parametrize("unroll", [1, 4, 8])
+    def test_matches_optax_value_and_grad(self, unroll):
+        from vibravox_tpu.ops.ctc import ctc_loss
+
+        args = self._random_case(0)
+
+        def mine(logits):
+            return jnp.sum(ctc_loss(logits, *args[1:], blank_id=0, unroll=unroll))
+
+        def theirs(logits):
+            return jnp.sum(optax.ctc_loss(logits, *args[1:], blank_id=0))
+
+        v1, g1 = jax.value_and_grad(mine)(args[0])
+        v0, g0 = jax.value_and_grad(theirs)(args[0])
+        np.testing.assert_allclose(v1, v0, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-6)
+
+    def test_nonzero_blank_id(self):
+        from vibravox_tpu.ops.ctc import ctc_loss
+
+        logits, lp, labels, labp = self._random_case(1)
+        labels = jnp.where(labels == 5, 6, labels)  # keep blank out of targets
+        mine = ctc_loss(logits, lp, labels, labp, blank_id=5)
+        ref = optax.ctc_loss(logits, lp, labels, labp, blank_id=5)
+        np.testing.assert_allclose(mine, ref, rtol=1e-6, atol=1e-6)

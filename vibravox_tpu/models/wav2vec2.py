@@ -112,6 +112,86 @@ TINY_W2V2_CONFIG: Dict[str, Any] = dict(
 # --------------------------------------------------------------------------- #
 
 
+class _FeatureConv(nn.Module):
+    """One feature-encoder conv (VALID, strided) with a space-to-depth
+    matmul fast path.
+
+    XLA's strided-conv lowering ran the b8-recipe feature extractor at
+    ~35% MFU (conv_1 alone 873 us/step in the round-4 profile).  Every
+    layer of the wav2vec2 stack satisfies ``stride <= kernel <= 2*stride``,
+    so output ``t`` reads at most two space-to-depth rows of width
+    ``stride``:
+
+        z = x.reshape(B, T/s, s*Cin)
+        y[t] = z[t] @ W0  +  z[t+1, :(k-s)*Cin] @ W1
+
+    — two dense stride-1 matmuls (``W0`` = taps ``0..s-1``, ``W1`` = taps
+    ``s..k-1``), with the second operand LANE-SLICED rather than the kernel
+    zero-padded, so the FLOP count is exactly the conv's (no packed-zero
+    inflation; MFU stays honest).  Param tree is identical to ``nn.Conv``
+    (``kernel`` WIO + optional ``bias``), so checkpoints and the torch
+    converters (``wav2vec2_params_from_torch``) are unaffected.
+
+    MEASURED AND REJECTED on the v5e (round 4, b8 recipe): 852 vs 1032
+    audio-s/s — the lane-widening reshape is NOT free in the C-minor tiled
+    layout (a 162 us full-tensor relayout per layer), the one-row time pad
+    is another full copy (237 us), and the resulting dots only reach ~40%
+    MFU vs the conv lowering's ~35%, so the overheads dominate.  Kept
+    opt-in behind ``VIBRAVOX_PACKED_W2V2=1`` (default OFF) as the measured
+    record; both paths (values AND grads) are exactness-pinned in
+    ``tests/test_stp.py::TestPackedFeatureConv``.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    dtype: Optional[Any]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        k, s, cout = self.kernel_size, self.stride, self.features
+        cin = x.shape[-1]
+        # same distribution as nn.Conv's default (lecun_normal over the
+        # conv fan-in k*cin — variance_scaling counts receptive field)
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, cin, cout)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (cout,)) if self.use_bias else None
+        dt = self.dtype
+        if dt is not None:
+            x, w = x.astype(dt), w.astype(dt)
+            b = b.astype(dt) if b is not None else None
+
+        batch, t = x.shape[0], x.shape[1]
+        t_out = (t - k) // s + 1
+        packed = (
+            os.environ.get("VIBRAVOX_PACKED_W2V2", "0") == "1"
+            and 1 < s <= k <= 2 * s
+            and t_out >= 1
+        )
+        if packed:
+            rows = -(-t // s)  # ceil: k <= 2s guarantees rows >= t_out + 1
+            if rows * s != t:
+                x = jnp.pad(x, ((0, 0), (0, rows * s - t), (0, 0)))
+            z = x.reshape(batch, rows, s * cin)
+            w0 = w[:s].reshape(s * cin, cout)
+            y = jnp.einsum("btc,cd->btd", z[:, :t_out], w0)
+            if k > s:
+                w1 = w[s:].reshape((k - s) * cin, cout)
+                y = y + jnp.einsum(
+                    "btc,cd->btd", z[:, 1 : t_out + 1, : (k - s) * cin], w1
+                )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, (s,), "VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+        return y + b if b is not None else y
+
+
 class FeatureEncoder(nn.Module):
     """Conv feature extractor: waveform (B, T) -> (B, T', conv_dim[-1])."""
 
@@ -125,8 +205,8 @@ class FeatureEncoder(nn.Module):
         for i, (dim, kernel, stride) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
         ):
-            h = nn.Conv(
-                dim, (kernel,), strides=(stride,), padding="VALID",
+            h = _FeatureConv(
+                features=dim, kernel_size=kernel, stride=stride,
                 use_bias=cfg.conv_bias, dtype=dt, name=f"conv_{i}",
             )(h)
             if cfg.feat_extract_norm == "group" and i == 0:
@@ -172,7 +252,11 @@ class PositionalConvEmbedding(nn.Module):
         # this config (dW x model-axis-size — see
         # ops/conv.py::grouped_conv1d_spmd_safe); on model==1 meshes the
         # plain XLA path is exact and ~7.5 ms/step faster (config flag)
-        from vibravox_tpu.ops.conv import _conv1d_raw, grouped_conv1d_spmd_safe
+        from vibravox_tpu.ops.conv import (
+            _conv1d_raw,
+            grouped_conv1d_batched,
+            grouped_conv1d_spmd_safe,
+        )
 
         if cfg.compute_dtype:
             dt = jnp.dtype(cfg.compute_dtype)
@@ -181,7 +265,19 @@ class PositionalConvEmbedding(nn.Module):
         if cfg.spmd_safe_pos_conv:
             out = grouped_conv1d_spmd_safe(h, kernel, (pad, pad), groups) + bias
         else:
-            out = _conv1d_raw(h, kernel, 1, (pad, pad), 1, groups) + bias
+            import os
+
+            # batch-grouped formulation (see grouped_conv1d_batched):
+            # bitwise-identical and 300x faster STANDALONE, but measured
+            # NEUTRAL inside the full train step (22.6 vs 22.4 ms at the b8
+            # recipe — the grouped conv's cost sits in the step's scheduling
+            # shadow).  Kept opt-in as the measured record; model==1 meshes
+            # only (batch_group_count untested against the model>1 GSPMD
+            # bug class — the spmd_safe branch covers those meshes)
+            if os.environ.get("VIBRAVOX_POSCONV_BATCHED", "0") == "1":
+                out = grouped_conv1d_batched(h, kernel, (pad, pad), groups) + bias
+            else:
+                out = _conv1d_raw(h, kernel, 1, (pad, pad), 1, groups) + bias
         if k % 2 == 0:
             out = out[:, :-1, :]
         return nn.gelu(out, approximate=False)

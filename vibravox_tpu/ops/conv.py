@@ -296,6 +296,31 @@ def _grouped_safe_bwd(pad, groups, res, g):
 grouped_conv1d_spmd_safe.defvjp(_grouped_safe_fwd, _grouped_safe_bwd)
 
 
+def grouped_conv1d_batched(x, weight, pad, groups):
+    """Stride-1 grouped conv with the groups moved onto the BATCH axis.
+
+    ``feature_group_count`` convs at small per-group widths are pathological
+    on this backend when they stand alone (wav2vec2 pos-conv shapes, k=128
+    g=16 d=768: 33.6 ms vs 0.10 ms for this formulation, outputs bitwise
+    identical — round-4 ablation).  vmapping a dense conv over the group
+    axis lowers to ONE conv with ``batch_group_count=groups``; the group
+    split/merge transposes move ~2 MB and fuse.  Weight layout matches the
+    grouped WIO convention: ``(k, cin/groups, cout)`` with output block
+    ``g`` owned by group ``g``.
+    """
+    b, t, _ = x.shape
+    k, cin_pg, cout = weight.shape
+    copg = cout // groups
+    xg = x.reshape(b, t, groups, cin_pg).transpose(2, 0, 1, 3)
+    wg = weight.reshape(k, cin_pg, groups, copg).transpose(2, 0, 1, 3)
+    out = jax.vmap(
+        lambda xx, ww: lax.conv_general_dilated(
+            xx, ww, (1,), [pad], dimension_numbers=("NWC", "WIO", "NWC")
+        )
+    )(xg, wg)
+    return out.transpose(1, 2, 0, 3).reshape(b, -1, cout)
+
+
 def conv_transpose1d(
     x: jnp.ndarray,
     weight_torch: jnp.ndarray,

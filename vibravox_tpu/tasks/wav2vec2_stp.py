@@ -127,13 +127,33 @@ class Wav2Vec2STPTask:
     # ------------------------------------------------------------------ #
 
     def _ctc_loss(self, logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-        """'mean' CTC: per-example loss divided by target length, averaged."""
+        """'mean' CTC: per-example loss divided by target length, averaged.
+
+        Uses the native CTC (``ops/ctc.py``, optax-parity-pinned): optax's
+        scan stacks the full (T, B, N) alpha tables through per-iteration
+        dynamic-update-slices, which measured 19.4 ms standalone at the
+        recipe shapes on the v5e vs 1.1 ms for the carry-only native scan.
+        ``VIBRAVOX_CTC_UNROLL`` tunes the scan unroll;
+        ``VIBRAVOX_CTC_IMPL=optax`` falls back to optax.ctc_loss.
+        """
+        import os
+
+        from vibravox_tpu.ops.ctc import ctc_loss
+
         label_paddings = (labels == -100).astype(jnp.float32)
         clean_labels = jnp.where(labels == -100, 0, labels)
         logit_paddings = jnp.zeros(logits.shape[:2], jnp.float32)
-        per_example = optax.ctc_loss(
-            logits, logit_paddings, clean_labels, label_paddings, blank_id=self.blank_id
-        )
+        if os.environ.get("VIBRAVOX_CTC_IMPL", "native") == "optax":
+            per_example = optax.ctc_loss(
+                logits, logit_paddings, clean_labels, label_paddings,
+                blank_id=self.blank_id,
+            )
+        else:
+            per_example = ctc_loss(
+                logits, logit_paddings, clean_labels, label_paddings,
+                blank_id=self.blank_id,
+                unroll=int(os.environ.get("VIBRAVOX_CTC_UNROLL", "1")),
+            )
         target_lengths = jnp.maximum(jnp.sum(1.0 - label_paddings, axis=-1), 1.0)
         return jnp.mean(per_example / target_lengths)
 
