@@ -118,7 +118,12 @@ class Trainer:
     def _ensure_dp(self, task) -> DataParallel:
         if self._dp is None:
             self._apply_precision(task)
-            self._dp = DataParallel(task, build_mesh(self.mesh_config))
+            self._dp = DataParallel(
+                task,
+                build_mesh(self.mesh_config),
+                fsdp=self.mesh_config.fsdp,
+                fsdp_min_size=self.mesh_config.fsdp_min_size,
+            )
         return self._dp
 
     def fit(self, task, datamodule) -> None:

@@ -26,10 +26,17 @@ __all__ = ["MeshConfig", "build_mesh", "shard_batch", "replicate", "DataParallel
 
 @dataclasses.dataclass
 class MeshConfig:
-    """Declarative mesh spec, the config-side mirror of ``trainer.mesh``."""
+    """Declarative mesh spec, the config-side mirror of ``trainer.mesh``.
+
+    ``fsdp`` shards parameters and optimizer state over the ``data`` axis
+    (ZeRO-3 style, ``parallel/fsdp.py``); leaves smaller than
+    ``fsdp_min_size`` elements stay replicated.
+    """
 
     data: int = -1   # -1: all remaining devices
     model: int = 1
+    fsdp: bool = False
+    fsdp_min_size: Optional[int] = None  # None: parallel/fsdp.py default
 
     def resolve(self, n_devices: Optional[int] = None) -> Dict[str, int]:
         n = n_devices if n_devices is not None else jax.device_count()
@@ -129,14 +136,22 @@ class DataParallel:
     Batches are sharded on the 'data' axis; parameters/state are replicated
     unless the task declares tensor-parallel placements (a
     ``partition_spec_for_path(path_names, shape, model_size)`` attribute —
-    see ``parallel/tp.py``), in which case the matching state leaves are
-    sharded over the 'model' axis and the train/eval jits carry the full
-    per-leaf sharding tree.  Gradient all-reduces (and the TP psums)
-    materialize automatically from the sharding propagation — this replaces
-    DDP + ``sync_dist`` wholesale.
+    see ``parallel/tp.py``) and/or FSDP is enabled (``fsdp=True``, see
+    ``parallel/fsdp.py``), in which case the matching state leaves are
+    sharded over the 'model' / 'data' axes and the train/eval jits carry
+    the full per-leaf sharding tree.  Gradient all-reduces (TP psums, FSDP
+    all-gather/reduce-scatter pairs) materialize automatically from the
+    sharding propagation — this replaces DDP + ``sync_dist`` wholesale.
     """
 
-    def __init__(self, task, mesh: Optional[Mesh] = None, donate_state: bool = True):
+    def __init__(
+        self,
+        task,
+        mesh: Optional[Mesh] = None,
+        donate_state: bool = True,
+        fsdp: bool = False,
+        fsdp_min_size: Optional[int] = None,
+    ):
         self.task = task
         self.mesh = mesh or build_mesh()
         self._donate = donate_state
@@ -150,6 +165,14 @@ class DataParallel:
             spec_fn
             if spec_fn is not None and self.mesh.shape.get("model", 1) > 1
             else None
+        )
+        # FSDP/ZeRO state sharding over 'data' (parallel/fsdp.py): task-
+        # agnostic (placement is by leaf shape), composes with the TP specs.
+        from vibravox_tpu.parallel.fsdp import FSDP_MIN_LEAF_SIZE
+
+        self._fsdp = bool(fsdp) and self.mesh.shape.get("data", 1) > 1
+        self._fsdp_min_size = (
+            FSDP_MIN_LEAF_SIZE if fsdp_min_size is None else int(fsdp_min_size)
         )
         # let the task adapt to the mesh before anything compiles (e.g.
         # wav2vec2 only needs its SPMD-safe pos-conv vjp when model > 1)
@@ -171,18 +194,36 @@ class DataParallel:
             self.task.eval_step, in_shardings=(state_shardings, None)
         )
 
-    def _tp_sharding_tree(self, state: Any) -> Any:
-        """Per-leaf NamedSharding tree for the train state: the task's spec
-        hook matched on each leaf's trailing path names.  Optimizer moments
-        shard with their parameters for free — their paths end with the same
-        ``(module, param)`` names."""
-        model = self.mesh.shape["model"]
+    def _state_sharding_tree(self, state: Any) -> Any:
+        """Per-leaf NamedSharding tree for the train state.
+
+        TP: the task's spec hook matched on each leaf's trailing path names
+        — optimizer moments shard with their parameters for free (their
+        paths end with the same ``(module, param)`` names).  FSDP: on top of
+        the TP spec, large leaves get the ``data`` axis on a free divisible
+        dimension (``parallel/fsdp.py``) — shape-based, so it covers the
+        moments identically.
+        """
+        from vibravox_tpu.parallel.fsdp import fsdp_spec
+
+        model = self.mesh.shape.get("model", 1)
+        data = self.mesh.shape["data"]
 
         def leaf_sharding(path, leaf):
             names = tuple(
                 str(getattr(p, "key", getattr(p, "name", ""))) for p in path
             )
-            spec = self._tp_spec_fn(names, tuple(getattr(leaf, "shape", ())), model)
+            shape = tuple(getattr(leaf, "shape", ()))
+            spec = (
+                self._tp_spec_fn(names, shape, model)
+                if self._tp_spec_fn is not None
+                else P()
+            )
+            if self._fsdp and not (
+                hasattr(leaf, "dtype")
+                and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+            ):
+                spec = fsdp_spec(shape, data, spec, min_size=self._fsdp_min_size)
             return NamedSharding(self.mesh, spec)
 
         return jax.tree_util.tree_map_with_path(leaf_sharding, state)
@@ -210,8 +251,8 @@ class DataParallel:
             state = jax.jit(init_with)(rng, arrays, self.task.initial_params())
         else:
             state = jax.jit(self.task.init_state)(rng, arrays)
-        if self._tp_spec_fn is not None:
-            shardings = self._tp_sharding_tree(state)
+        if self._tp_spec_fn is not None or self._fsdp:
+            shardings = self._state_sharding_tree(state)
             self._jit_steps(shardings)
             if jax.process_count() > 1:
                 # every process computed the identical full state (seeded
