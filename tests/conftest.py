@@ -27,18 +27,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA:CPU compile cache for the suite, keyed by the jax/jaxlib
-# build (same recipe as __graft_entry__._enable_cpu_dryrun_cache).  The
-# suite's cost is dominated by repeated cold compiles of the big train-step
-# programs (~60 min cold on this 1-core host); identical programs across
-# runs make warm suites far cheaper.  Round-3 history: an UNKEYED cache hit
-# a stale-AOT machine-feature crash on a toolchain bump (commit bd99324);
-# the build fingerprint prevents replaying entries across builds, and warm
-# loads were re-probed green on the current build (incl. sharded programs —
-# the dryrun has used this recipe since fdd177d).  The 2-process gloo
-# workers spawn fresh interpreters that never see this config, so they
-# always compile cold.  VIBRAVOX_TEST_CACHE=0 disables.
+# build AND the host CPU feature flags (same recipe as
+# __graft_entry__._enable_cpu_dryrun_cache).  The suite's cost is dominated
+# by repeated cold compiles of the big train-step programs (~60 min cold on
+# this 1-core host); identical programs across runs make warm suites far
+# cheaper.  Round-3 history: an UNKEYED cache hit a stale-AOT
+# machine-feature crash on a toolchain bump (commit bd99324); the build
+# fingerprint prevents replaying entries across builds, and the host-feature
+# digest prevents the cross-HOST variant (AOT entries embed +amx-*-class
+# features; loading on a host without them risks SIGILL — warnings observed
+# in MULTICHIP_r04.json).  The 2-process gloo workers spawn fresh
+# interpreters that never see this config, so they always compile cold.
+# VIBRAVOX_TEST_CACHE=0 disables.
 if os.environ.get("VIBRAVOX_TEST_CACHE", "1") == "1":
     try:
+        from vibravox_tpu.core.cache import host_cpu_fingerprint
+
         _fp = jax.__version__
         try:
             import jaxlib
@@ -46,6 +50,7 @@ if os.environ.get("VIBRAVOX_TEST_CACHE", "1") == "1":
             _fp = f"{jax.__version__}-{jaxlib.__version__}"
         except Exception:
             pass
+        _fp = f"{_fp}-{host_cpu_fingerprint()}"
         _dir = os.path.expanduser(f"~/.cache/vibravox_tpu_xla_tests-{_fp}")
         os.makedirs(_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _dir)

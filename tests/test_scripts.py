@@ -199,6 +199,16 @@ class TestWeightsDayRunbook:
         ):
             assert name in text, f"missing parity row {name}"
         assert "compose+instantiate ok" in text
+        # the spkv config must have gone through the REAL run_module.main
+        # branch (env staging, fit/test, metric extraction — round-4 verdict
+        # item: the day-of-network path has to have executed once) and
+        # produced actual metric values
+        assert "dry_run_executed" in text
+        spkv_row = next(l for l in text.splitlines() if "spkv_ecapa2_eval" in l)
+        row = json.loads(spkv_row.split("|")[2].strip())
+        executed = row["dry_run_executed"]
+        assert set(executed) == {"test/equal_error_rate", "test/minimum_dcf"}
+        assert all(isinstance(v, (int, float)) for v in executed.values())
         # dry-run twins must not leak checkpoint env vars into the process
         for k, v in env_before.items():
             assert os.environ.get(k) == v

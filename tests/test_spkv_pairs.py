@@ -187,3 +187,31 @@ class TestPairGeneratorReferenceParity:
             generate_trial_pairs(speaker_ids, genders, "same_gender", rng=rng)
             == same_gender
         )
+
+
+class TestSpeakerSortOrder:
+    """speaker_sort_order must use the column's NATIVE dtype like the
+    reference's dataset.sort("speaker_id") — a str() key diverges on numeric
+    ids ('10' < '2' lexicographically) and silently breaks pickle parity
+    (round-4 advisor finding)."""
+
+    def test_numeric_ids_sort_numerically(self):
+        from vibravox_tpu.data.spkv import speaker_sort_order
+
+        src = [{"speaker_id": sid} for sid in [10, 2, 1, 21, 3]]
+        order = speaker_sort_order(src)
+        assert [src[i]["speaker_id"] for i in order] == [1, 2, 3, 10, 21]
+
+    def test_string_ids_sort_lexicographically_and_stably(self):
+        from vibravox_tpu.data.spkv import speaker_sort_order
+
+        src = [
+            {"speaker_id": "10", "u": 0},
+            {"speaker_id": "2", "u": 0},
+            {"speaker_id": "2", "u": 1},
+            {"speaker_id": "1", "u": 0},
+        ]
+        order = speaker_sort_order(src)
+        assert [src[i]["speaker_id"] for i in order] == ["1", "10", "2", "2"]
+        # stable: within-speaker row order preserved
+        assert [src[i]["u"] for i in order] == [0, 0, 0, 1]

@@ -184,6 +184,39 @@ class TestPackedFeatureConv:
             assert a.shape == b.shape and a.dtype == b.dtype
 
 
+class TestBatchedPosConv:
+    """grouped_conv1d_batched (opt-in VIBRAVOX_POSCONV_BATCHED, reachable in
+    training via models/wav2vec2.py) is claimed bitwise-identical to the
+    plain grouped conv — pin values AND grads against _conv1d_raw at the
+    pos-conv shape class (k=128, g=16), the fused-vs-naive tripwire
+    convention every other packed path follows (TestPackedFeatureConv)."""
+
+    @pytest.mark.parametrize("k,groups,dim,t", [(128, 16, 768, 96), (5, 4, 32, 40)])
+    def test_matches_plain_grouped_conv_and_grads(self, k, groups, dim, t):
+        from vibravox_tpu.ops.conv import _conv1d_raw, grouped_conv1d_batched
+
+        key = jax.random.key(0)
+        x = jax.random.normal(key, (2, t, dim), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (k, dim // groups, dim)) * 0.05
+        pad = (k // 2, k // 2)
+
+        def loss(fn):
+            return lambda x, w: jnp.sum(jnp.tanh(fn(x, w)))
+
+        batched = loss(lambda x, w: grouped_conv1d_batched(x, w, pad, groups))
+        plain = loss(lambda x, w: _conv1d_raw(x, w, 1, pad, 1, groups))
+
+        v_b, g_b = jax.jit(jax.value_and_grad(batched, argnums=(0, 1)))(x, w)
+        v_p, g_p = jax.jit(jax.value_and_grad(plain, argnums=(0, 1)))(x, w)
+        # forward outputs are bitwise identical (measured, round 4); the loss
+        # reduction and tanh keep that exactness at f32
+        np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_p))
+        # grads: dW/dx lower through different conv transposes (different
+        # f32 accumulation order) — tight tolerance, not bitwise
+        for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_p)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
+
+
 class TestNativeCTC:
     """ops/ctc.py must reproduce optax.ctc_loss exactly (value and grad),
     including repeated labels, label padding, frame padding, and every

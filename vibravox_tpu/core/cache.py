@@ -9,7 +9,37 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["enable_compilation_cache"]
+__all__ = ["enable_compilation_cache", "host_cpu_fingerprint"]
+
+
+def host_cpu_fingerprint() -> str:
+    """Short digest of the host's CPU feature flags, for keying persistent
+    XLA:CPU compile-cache directories.
+
+    XLA:CPU AOT cache entries embed the machine features they were compiled
+    with (``+amx-*``, ``+prefer-no-gather``, ...); loading an entry on a host
+    WITHOUT those features "could lead to execution errors such as SIGILL"
+    (cpu_aot_loader.cc warning observed in MULTICHIP_r04.json).  A build
+    fingerprint alone does not prevent that cross-*host* reuse — this digest
+    does: different flags ⇒ different cache dir ⇒ cold compile, never a
+    mismatched load.  Falls back to the machine/arch string where
+    /proc/cpuinfo is unavailable (macOS, containers without procfs)."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                key = line.split(":", 1)[0].strip().lower()
+                if key in ("flags", "features"):  # x86 / arm64 respectively
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    if not feats:
+        feats = f"{platform.machine()}-{platform.processor()}"
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:

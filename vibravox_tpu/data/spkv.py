@@ -45,6 +45,17 @@ class SPKVCollate:
         }
 
 
+def speaker_sort_order(src) -> List[int]:
+    """Row order sorted by the ``speaker_id`` column's NATIVE dtype, matching
+    the reference's ``dataset.sort("speaker_id")``
+    (``lightning_datamodules/spkv.py:202``, ``scripts/gen_pairs_for_spkv.py:30``)
+    — HF sorts by the column dtype, so a ``str()`` key would silently diverge
+    on numeric ids (``'10' < '2'`` lexicographically) and break the
+    bit-identical-pickle parity.  The sort is stable, preserving within-speaker
+    row order like the reference's."""
+    return sorted(range(len(src)), key=lambda i: src[i]["speaker_id"])
+
+
 def speaker_ranges(speaker_ids: Sequence[str]) -> Tuple[List[List[int]], int]:
     """Per-speaker index ranges truncated to the minimum utterance count.
 
@@ -258,8 +269,9 @@ class SPKVDataModule:
         src_a = self._load_split("test", self.sensor_a)
         src_b = self._load_split("test", self.sensor_b) if self.sensor_b != self.sensor_a else src_a
 
-        # sort by speaker_id like the reference (``spkv.py:202``)
-        order = sorted(range(len(src_a)), key=lambda i: str(src_a[i]["speaker_id"]))
+        # sort by speaker_id like the reference (``spkv.py:202``) — native
+        # column dtype, see speaker_sort_order
+        order = speaker_sort_order(src_a)
         rows = [src_a[i] for i in order]
 
         if self.pairs_file:

@@ -50,12 +50,13 @@ class FwSEBlock(nn.Module):
     excite per frequency bin (ECAPA2 paper §2.1)."""
 
     bottleneck: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, F, C)
         z = jnp.mean(x, axis=(1, 3))  # (B, F)
-        s = nn.relu(nn.Dense(self.bottleneck, name="fc1")(z))
-        s = nn.sigmoid(nn.Dense(x.shape[2], name="fc2")(s))
+        s = nn.relu(nn.Dense(self.bottleneck, dtype=self.dtype, name="fc1")(z))
+        s = nn.sigmoid(nn.Dense(x.shape[2], dtype=self.dtype, name="fc2")(s))
         return x * s[:, None, :, None]
 
 
@@ -65,6 +66,7 @@ class LFEBlock(nn.Module):
 
     channels: int
     freq_stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, F, C)
@@ -72,14 +74,16 @@ class LFEBlock(nn.Module):
         # explicit (1,1)x(1,1) padding == torch Conv2d(padding=1): SAME pads
         # asymmetrically under stride 2, which would break checkpoint parity
         h = nn.Conv(self.channels, (3, 3), strides=stride,
-                    padding=((1, 1), (1, 1)), name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=True, name="bn1")(h)
+                    padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=True, name="bn2")(h)
-        h = FwSEBlock(name="fwse")(h)
+        h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn2")(h)
+        h = FwSEBlock(dtype=self.dtype, name="fwse")(h)
         if x.shape[-1] != self.channels or self.freq_stride != 1:
-            x = nn.Conv(self.channels, (1, 1), strides=stride, name="shortcut")(x)
+            x = nn.Conv(self.channels, (1, 1), strides=stride,
+                        dtype=self.dtype, name="shortcut")(x)
         return nn.relu(h + x)
 
 
@@ -91,12 +95,14 @@ class SERes2NetBlock(nn.Module):
     dilation: int = 2
     scale: int = 8
     se_bottleneck: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C)
         residual = x
-        h = nn.Conv(self.channels, (1,), name="conv_in")(x)
-        h = nn.relu(nn.BatchNorm(use_running_average=True, name="bn_in")(h))
+        h = nn.Conv(self.channels, (1,), dtype=self.dtype, name="conv_in")(x)
+        h = nn.relu(nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                                 name="bn_in")(h))
         width = self.channels // self.scale
         chunks = [h[..., i * width : (i + 1) * width] for i in range(self.scale)]
         outs = [chunks[0]]
@@ -105,17 +111,18 @@ class SERes2NetBlock(nn.Module):
             inp = chunks[i] if prev is None else chunks[i] + prev
             prev = nn.Conv(
                 width, (self.kernel_size,), kernel_dilation=self.dilation,
-                padding="SAME", name=f"res2_conv_{i}",
+                padding="SAME", dtype=self.dtype, name=f"res2_conv_{i}",
             )(inp)
             prev = nn.relu(prev)
             outs.append(prev)
         h = jnp.concatenate(outs, axis=-1)
-        h = nn.Conv(self.channels, (1,), name="conv_out")(h)
-        h = nn.relu(nn.BatchNorm(use_running_average=True, name="bn_out")(h))
+        h = nn.Conv(self.channels, (1,), dtype=self.dtype, name="conv_out")(h)
+        h = nn.relu(nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                                 name="bn_out")(h))
         # channel SE
         s = jnp.mean(h, axis=1)
-        s = nn.relu(nn.Dense(self.se_bottleneck, name="se_fc1")(s))
-        s = nn.sigmoid(nn.Dense(self.channels, name="se_fc2")(s))
+        s = nn.relu(nn.Dense(self.se_bottleneck, dtype=self.dtype, name="se_fc1")(s))
+        s = nn.sigmoid(nn.Dense(self.channels, dtype=self.dtype, name="se_fc2")(s))
         return residual + h * s[:, None, :]
 
 
@@ -123,6 +130,7 @@ class AttentiveStatsPooling(nn.Module):
     """Channel-dependent attentive mean+std pooling with global context."""
 
     bottleneck: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, T, C) -> (B, 2C)
@@ -132,8 +140,14 @@ class AttentiveStatsPooling(nn.Module):
         ctx = jnp.concatenate(
             [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], axis=-1
         )
-        a = nn.tanh(nn.Conv(self.bottleneck, (1,), name="att_conv1")(ctx))
-        a = nn.Conv(x.shape[-1], (1,), name="att_conv2")(a)
+        a = nn.tanh(nn.Conv(self.bottleneck, (1,), dtype=self.dtype,
+                            name="att_conv1")(ctx))
+        a = nn.Conv(x.shape[-1], (1,), dtype=self.dtype, name="att_conv2")(a)
+        # the statistics (softmax weights, weighted mean/std) stay f32: bf16
+        # sums over ~300 frames lose ~2 decimal digits on exactly the
+        # quantities cosine scoring consumes
+        a = a.astype(jnp.float32)
+        x = x.astype(jnp.float32)
         a = nn.softmax(a, axis=1)
         mu = jnp.sum(a * x, axis=1)
         sg = jnp.sqrt(jnp.clip(jnp.sum(a * x * x, axis=1) - mu**2, min=1e-8))
@@ -154,6 +168,35 @@ class ECAPA2Config:
     gfe_dilation: int = 2
     res2_scale: int = 8
     embed_dim: int = 192
+    # computation dtype for the conv/dense trunk ("bfloat16" for TPU
+    # throughput — params and the pooling statistics stay f32; embeddings
+    # are returned f32 either way).  Default f32 = checkpoint-parity mode.
+    compute_dtype: str = "float32"
+
+
+# published Jenthe/ECAPA2 geometry ("full", the reference's pretrained
+# embedder, ecapa2.py:38-40) plus a tiny preset for offline dry runs — the
+# SAME geometry as the pinned converter twin (tests/test_ecapa2.py::TINY and
+# the weights-day donor's dryrun_config.json), so a donor checkpoint loads
+# into a preset="tiny" embedder through the production checkpoint path.
+PRESETS = {
+    "full": lambda: ECAPA2Config(),
+    "tiny": lambda: ECAPA2Config(
+        stem_channels=8,
+        lfe_stages=((8, 1, 2), (12, 1, 2)),
+        gfe_channels=16,
+        res2_scale=4,
+        embed_dim=16,
+    ),
+}
+
+
+def ecapa2_from_config(preset: str = "full", **overrides) -> "ECAPA2":
+    """Config-system factory (mirrors ``wav2vec2_for_ctc_from_config``)."""
+    cfg = PRESETS[preset]()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return ECAPA2(config=cfg)
 
 
 class ECAPA2(nn.Module):
@@ -164,32 +207,41 @@ class ECAPA2(nn.Module):
     @nn.compact
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        dtype = (
+            jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != "float32" else None
+        )
         feats = log_mel_spectrogram(
             audio, sample_rate=cfg.sample_rate, n_mels=cfg.n_mels
-        )  # (B, frames, mel)
+        )  # (B, frames, mel) — FFT front-end stays f32
         # per-utterance cepstral mean normalisation
         feats = feats - jnp.mean(feats, axis=1, keepdims=True)
         x = feats[:, :, :, None]  # (B, T, F, 1)
+        if dtype is not None:
+            x = x.astype(dtype)
 
-        x = nn.Conv(cfg.stem_channels, (3, 3), padding=((1, 1), (1, 1)), name="stem")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=True, name="stem_bn")(x))
+        x = nn.Conv(cfg.stem_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dtype, name="stem")(x)
+        x = nn.relu(nn.BatchNorm(use_running_average=True, dtype=dtype,
+                                 name="stem_bn")(x))
         for si, (ch, n_blocks, stride) in enumerate(cfg.lfe_stages):
             for bi in range(n_blocks):
                 x = LFEBlock(
-                    ch, freq_stride=stride if bi == 0 else 1,
+                    ch, freq_stride=stride if bi == 0 else 1, dtype=dtype,
                     name=f"stage{si}_block{bi}",
                 )(x)
 
         b, t, f, c = x.shape
         h = x.reshape(b, t, f * c)  # flatten frequency x channels -> 1-D
-        h = nn.Conv(cfg.gfe_channels, (1,), name="gfe_proj")(h)
-        h = nn.relu(nn.BatchNorm(use_running_average=True, name="gfe_bn")(h))
+        h = nn.Conv(cfg.gfe_channels, (1,), dtype=dtype, name="gfe_proj")(h)
+        h = nn.relu(nn.BatchNorm(use_running_average=True, dtype=dtype,
+                                 name="gfe_bn")(h))
         h = SERes2NetBlock(
             cfg.gfe_channels, dilation=cfg.gfe_dilation, scale=cfg.res2_scale,
-            name="gfe_block",
+            dtype=dtype, name="gfe_block",
         )(h)
 
-        pooled = AttentiveStatsPooling(name="pooling")(h)
+        # pooling statistics + embedding head in f32 (scoring-facing values)
+        pooled = AttentiveStatsPooling(dtype=dtype, name="pooling")(h)
         pooled = nn.BatchNorm(use_running_average=True, name="pool_bn")(pooled)
         return nn.Dense(cfg.embed_dim, name="embedding")(pooled)
 

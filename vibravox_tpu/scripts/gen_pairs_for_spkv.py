@@ -33,14 +33,19 @@ def main(argv=None) -> None:
     parser.add_argument("--output-dir", required=True)
     args = parser.parse_args(argv)
 
-    from vibravox_tpu.data.spkv import SPKVDataModule, generate_trial_pairs
+    from vibravox_tpu.data.spkv import (
+        SPKVDataModule,
+        generate_trial_pairs,
+        speaker_sort_order,
+    )
 
     dm = SPKVDataModule(
         dataset_name=args.dataset, subset=args.subset,
         sensor_a=args.sensor, sensor_b=args.sensor, seed=args.seed,
     )
     src = dm._load_split("test", args.sensor)
-    order = sorted(range(len(src)), key=lambda i: str(src[i]["speaker_id"]))
+    # native column dtype, like the reference's dataset.sort("speaker_id")
+    order = speaker_sort_order(src)
     rows = [src[i] for i in order]
     speakers = [str(r["speaker_id"]) for r in rows]
     genders = [str(r["gender"]) for r in rows]

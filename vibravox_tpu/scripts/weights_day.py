@@ -61,6 +61,17 @@ PARITY_CONFIGS: List[Dict] = [
         ],
         "needs": ["ecapa2"],
         "synthetic": "lightning_datamodule.dataset_name=synthetic",
+        # the one config the offline dry run EXECUTES through the real
+        # ``run_module.main`` branch (env-var weight staging, fit/test,
+        # metric-key extraction, REAL_DATA.md row — round-4 verdict: the
+        # day-of-network code path must have run once before it matters).
+        # tiny embedder = the donor twin's geometry, so the staged
+        # $VIBRAVOX_ECAPA2_CKPT loads through the production checkpoint slot.
+        "dryrun_execute": [
+            "++lightning_module.embedder._target_=vibravox_tpu.models.ecapa2.ecapa2_from_config",
+            "++lightning_module.embedder.preset=tiny",
+            "++trainer.limit_test_batches=8",
+        ],
     },
     {
         "name": "stp_wav2vec2_throat",
@@ -168,12 +179,9 @@ def stage_fetch(cache: Path) -> None:
     )
     attempt("mimi", lambda: snapshot_download("kyutai/mimi", local_dir=raw / "mimi"))
 
-    def fetch_squim() -> None:
-        # torchaudio is not installed here; the pipelines resolve to plain
-        # download URLs — fetch the state dicts directly
-        import torchaudio  # noqa: F401 — optional; fall back to direct URLs
-
     def fetch_squim_direct() -> None:
+        # torchaudio is not installed here; its SQUIM pipelines resolve to
+        # plain download URLs — fetch the state dicts directly
         from torch.hub import download_url_to_file
 
         base = "https://download.pytorch.org/torchaudio/models"
@@ -495,16 +503,28 @@ def stage_parity(
     day-of-network job, not a CI one."""
     manifest_path = cache / "staged/manifest.json"
     manifest = json.load(open(manifest_path)) if manifest_path.exists() else {}
-    if not dry_run:
-        # the staged tiny dry-run twins must NOT leak into other processes'
-        # checkpoint loading — only point the tasks at real converted weights
+
+    def stage_env() -> None:
+        """Point the tasks at the converted weights — the real day's env-var
+        staging.  In dry-run mode this only happens for configs the dry run
+        EXECUTES (the staged tiny twins must not leak into other processes'
+        checkpoint loading)."""
         if manifest.get("ecapa2"):
             os.environ.setdefault("VIBRAVOX_ECAPA2_CKPT", manifest["ecapa2"])
         if manifest.get("squim"):
             os.environ.setdefault("VIBRAVOX_SQUIM_DIR", manifest["squim"])
 
+    if not dry_run:
+        stage_env()
+
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     import run as run_module
+
+    def execute(spec, overrides):
+        """The day-of-network path: fit/test through run.py, then metric-key
+        extraction.  The dry run drives ≥1 config through THIS function."""
+        metrics = run_module.main(overrides)
+        return {k: metrics.get(k) for k in spec["metric_keys"]}
 
     rows = []
     for spec in PARITY_CONFIGS:
@@ -517,11 +537,46 @@ def stage_parity(
         if dry_run:
             os.environ.setdefault("HF_HUB_OFFLINE", "1")
             os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
-            from vibravox_tpu.core.config import compose, instantiate
-
             overrides = [
                 o for o in overrides if not o.startswith("++trainer.max_epochs")
             ] + [spec["synthetic"]] + list(spec.get("dryrun_overrides", []))
+            if spec.get("dryrun_execute") is not None:
+                # full end-to-end execution of the non-dry-run branch at tiny
+                # scale: staged donor checkpoint + synthetic data.  Env vars
+                # are scoped to the call so the tiny twins never leak into
+                # anything else this process (or CI) runs afterwards.
+                if missing:
+                    raise SystemExit(
+                        f"dry-run execute {spec['name']}: run the convert "
+                        f"stage first (missing {missing})"
+                    )
+                saved = {
+                    k: os.environ.get(k)
+                    for k in ("VIBRAVOX_ECAPA2_CKPT", "VIBRAVOX_SQUIM_DIR")
+                }
+                stage_env()
+                try:
+                    picked = execute(
+                        spec,
+                        overrides
+                        + list(spec["dryrun_execute"])
+                        + [f"++run_dir={cache / 'dryrun_runs' / spec['name']}"],
+                    )
+                finally:
+                    for k, v in saved.items():
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
+                assert all(v is not None for v in picked.values()), (
+                    f"{spec['name']}: executed dry run produced no value for "
+                    f"some of {spec['metric_keys']}: {picked}"
+                )
+                rows.append((spec["name"], {"dry_run_executed": picked}))
+                _log(f"parity {spec['name']}: dry-run EXECUTED {picked}")
+                continue
+            from vibravox_tpu.core.config import compose, instantiate
+
             cfg = compose(run_module.CONFIG_DIR, "run", overrides)
             datamodule = instantiate(cfg.lightning_datamodule)
             task = instantiate(cfg.lightning_module)
@@ -531,8 +586,7 @@ def stage_parity(
             rows.append((spec["name"], {"dry_run": "compose+instantiate ok"}))
             _log(f"parity {spec['name']}: dry-run compose+instantiate ok")
         else:
-            metrics = run_module.main(overrides)
-            picked = {k: metrics.get(k) for k in spec["metric_keys"]}
+            picked = execute(spec, overrides)
             rows.append((spec["name"], picked))
             _log(f"parity {spec['name']}: {picked}")
 
@@ -570,6 +624,24 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
     cache = Path(args.cache_dir)
+
+    if args.offline_dry_run:
+        # offline env FIRST: huggingface_hub snapshots HF_HUB_OFFLINE at
+        # import time, so setting it after a stage has imported transformers
+        # (donor synthesis does) silently re-enables 5×-retry hub lookups in
+        # later stages (observed standalone; pytest runs were shielded by the
+        # suite's env).
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+        # the dry run is a CPU job (donor synthesis, converter smoke tests,
+        # and one tiny executed parity config) — never burn remote-TPU
+        # compiles on it.  Forcing the platform works as long as the backend
+        # has not been initialized yet (same recipe as tests/conftest.py);
+        # under pytest the conftest has already done exactly this.
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.stage in ("all", "fetch"):
         if args.offline_dry_run:
