@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--task", default="mimi", choices=["eben", "stp", "mimi"])
+    parser.add_argument(
+        "--task", default="mimi", choices=["eben", "stp", "mimi", "spkv"]
+    )
     parser.add_argument("--top", type=int, default=40)
     args = parser.parse_args()
 
@@ -39,26 +41,65 @@ def main() -> None:
     print("devices:", jax.devices(), flush=True)
     build, default_batch = bench._TASKS[args.task]
     batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", str(default_batch)))
-    metric, dp, state, batch, audio_seconds = build(batch_size)
 
-    for _ in range(3):
-        state, logs = dp.train_step(state, batch)
-        float(next(iter(logs.values())))
+    if args.task == "spkv":
+        # inference step: the jitted ECAPA2 embed forward, chained like
+        # bench._run_spkv
+        import jax.numpy as jnp
+        import numpy as np
 
-    t0 = time.perf_counter()
-    s = state
-    for _ in range(10):
-        s, logs = dp.train_step(s, batch)
-    float(next(iter(logs.values())))
-    jax.block_until_ready(s)
-    wall_ms = (time.perf_counter() - t0) / 10 * 1e3
-    print(f"{args.task} train step: {wall_ms:.2f} ms wall", flush=True)
+        from vibravox_tpu.models.ecapa2 import ecapa2_from_config
 
-    trace_dir = f"/tmp/{args.task}_step_trace"
-    with jax.profiler.trace(trace_dir):
-        for _ in range(5):
+        t = int(3.0 * 16000)
+        model = ecapa2_from_config(
+            compute_dtype=os.environ.get("VIBRAVOX_ECAPA2_DTYPE", "bfloat16")
+        )
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((batch_size, t)).astype(np.float32)
+        )
+        params = jax.jit(model.init)(jax.random.key(0), x)
+
+        @jax.jit
+        def emb_step(x):
+            emb = model.apply(params, x)
+            return x + jnp.sum(emb) * 1e-30, emb
+
+        for _ in range(3):
+            x, emb = emb_step(x)
+        float(jnp.sum(emb))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            x, emb = emb_step(x)
+        float(jnp.sum(emb))
+        wall_ms = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"spkv embed step: {wall_ms:.2f} ms wall", flush=True)
+
+        trace_dir = "/tmp/spkv_step_trace"
+        with jax.profiler.trace(trace_dir):
+            for _ in range(5):
+                x, emb = emb_step(x)
+            jax.block_until_ready(emb)
+    else:
+        metric, dp, state, batch, audio_seconds = build(batch_size)
+
+        for _ in range(3):
+            state, logs = dp.train_step(state, batch)
+            float(next(iter(logs.values())))
+
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(10):
             s, logs = dp.train_step(s, batch)
+        float(next(iter(logs.values())))
         jax.block_until_ready(s)
+        wall_ms = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"{args.task} train step: {wall_ms:.2f} ms wall", flush=True)
+
+        trace_dir = f"/tmp/{args.task}_step_trace"
+        with jax.profiler.trace(trace_dir):
+            for _ in range(5):
+                s, logs = dp.train_step(s, batch)
+            jax.block_until_ready(s)
 
     path = max(
         glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True),

@@ -160,6 +160,27 @@ class TestECAPA2:
         assert emb.shape == (2, 16)
         assert bool(jnp.all(jnp.isfinite(emb)))
 
+    def test_bf16_compute_dtype_close_to_f32(self, rng_np):
+        """compute_dtype="bfloat16" (the TPU throughput path) must keep the
+        param tree identical (checkpoints interchangeable), return f32
+        embeddings, and stay within bf16 noise of the f32 trunk — the
+        pooling statistics and embedding head run f32 by design."""
+        import dataclasses
+
+        model32 = ECAPA2(TINY)
+        model16 = ECAPA2(dataclasses.replace(TINY, compute_dtype="bfloat16"))
+        x = jnp.asarray(rng_np.standard_normal((2, 16000)).astype(np.float32))
+        v32 = model32.init(jax.random.key(0), x)
+        v16 = model16.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(v32) == jax.tree_util.tree_structure(v16)
+        for a, b in zip(jax.tree.leaves(v32), jax.tree.leaves(v16)):
+            assert a.dtype == b.dtype  # params stay f32 under the bf16 trunk
+        e32 = model32.apply(v32, x)
+        e16 = model16.apply(v16, x)
+        assert e16.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(e32))) + 1e-6
+        assert float(jnp.max(jnp.abs(e32 - e16))) / scale < 0.08
+
     def test_time_resolution_preserved_in_lfe(self, rng_np):
         """ECAPA2's LFE strides only the frequency axis — embeddings must be
         computable for any utterance length with frame count scaling in T."""

@@ -7,6 +7,7 @@ oracle topology the real ``kyutai/mimi`` weights flow through
 loads the pretrained codec as the task's entire training signal).
 """
 
+import flax.traverse_util
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -215,3 +216,42 @@ class TestRegressiveMimiTask:
         out = jax.jit(task.eval_step)(state, batch)
         assert out["enhanced"].shape == out["corrupted"].shape
         assert "l1_latent_loss" in out["logs"]
+
+    def test_subtree_opt_equivalent_to_multi_transform(
+        self, mimi, task_and_batch, monkeypatch
+    ):
+        """VIBRAVOX_MIMI_SUBTREE_OPT=1 (grads + adam over the encoder-side
+        subtree only — no zero-update traffic over the frozen 55M leaves)
+        must produce the same training trajectory as the default
+        multi_transform path: trainable leaves allclose after 3 steps,
+        frozen leaves bitwise-unchanged."""
+        task, batch = task_and_batch
+        state = task.init_state(jax.random.key(0), batch)
+        step = jax.jit(task.train_step)
+        for _ in range(3):
+            state, logs = step(state, batch)
+
+        monkeypatch.setenv("VIBRAVOX_MIMI_SUBTREE_OPT", "1")
+        task_sub = RegressiveMimiTask(mimi=mimi, optimizer=optax.adam(1e-3))
+        state_sub = task_sub.init_state(jax.random.key(0), batch)
+        step_sub = jax.jit(task_sub.train_step)
+        for _ in range(3):
+            state_sub, logs_sub = step_sub(state_sub, batch)
+
+        assert np.isclose(
+            float(logs["train/l1_latent_loss"]),
+            float(logs_sub["train/l1_latent_loss"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        flat = flax.traverse_util.flatten_dict(state.params["params"])
+        flat_sub = flax.traverse_util.flatten_dict(state_sub.params["params"])
+        assert set(flat) == set(flat_sub)
+        trainable_prefixes = ("encoder", "encoder_transformer", "downsample")
+        for k in flat:
+            a, b = np.asarray(flat[k]), np.asarray(flat_sub[k])
+            if any(k[0].startswith(p) for p in trainable_prefixes):
+                np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+            else:
+                # frozen leaves: the subtree path never touches them; the
+                # default path adds +0.0 — numerically equal either way
+                np.testing.assert_array_equal(a, b)

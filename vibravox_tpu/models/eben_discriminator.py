@@ -30,15 +30,21 @@ class DiscriminatorEBEN(nn.Module):
 
     def setup(self):
         assert self.min_channels % self.q == 0, "min_channels must be a multiple of q"
+        import os
+
+        # int8-discriminator experiment (ops/quant.py): mid stages run their
+        # forward conv in int8 (straight-through backward); the tiny in/out
+        # stages stay in the compute dtype (nothing to win, precision-facing)
+        int8 = os.environ.get("VIBRAVOX_INT8_DISC", "0") == "1"
         c, d, q = self.min_channels, self.dilation, self.q
         self.stage_0 = WNConv1d(c, 3, stride=1, padding=1, dilation=d, groups=q, name="conv_0")
         self.mid_stages = [
-            WNConv1d(c * 2, 7, stride=2, padding=3, dilation=d, groups=q, name="conv_1"),
-            WNConv1d(c * 4, 7, stride=2, padding=3, dilation=d, groups=q, name="conv_2"),
-            WNConv1d(c * 8, 7, stride=2, padding=3, dilation=d, groups=q, name="conv_3"),
-            WNConv1d(c * 16, 7, stride=2, padding=3, dilation=d, groups=q, name="conv_4"),
-            WNConv1d(c * 32, 7, stride=2, padding=3, dilation=d, groups=q, name="conv_5"),
-            WNConv1d(c * 32, 5, stride=1, padding=2, dilation=d, groups=q, name="conv_6"),
+            WNConv1d(c * 2, 7, stride=2, padding=3, dilation=d, groups=q, int8=int8, name="conv_1"),
+            WNConv1d(c * 4, 7, stride=2, padding=3, dilation=d, groups=q, int8=int8, name="conv_2"),
+            WNConv1d(c * 8, 7, stride=2, padding=3, dilation=d, groups=q, int8=int8, name="conv_3"),
+            WNConv1d(c * 16, 7, stride=2, padding=3, dilation=d, groups=q, int8=int8, name="conv_4"),
+            WNConv1d(c * 32, 7, stride=2, padding=3, dilation=d, groups=q, int8=int8, name="conv_5"),
+            WNConv1d(c * 32, 5, stride=1, padding=2, dilation=d, groups=q, int8=int8, name="conv_6"),
         ]
         self.certainty_conv = WNConv1d(1, 3, stride=1, padding=1, name="conv_7")
 

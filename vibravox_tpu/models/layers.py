@@ -91,6 +91,10 @@ class WNConv1d(nn.Module):
     use_bias: bool = True
     pad_mode: str = "zeros"
     eps: float = 0.0
+    # int8 forward conv with straight-through backward (ops/quant.py) — the
+    # int8-discriminator experiment; set by the disc modules from
+    # VIBRAVOX_INT8_DISC
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, kernel_only: bool = False):
@@ -117,15 +121,31 @@ class WNConv1d(nn.Module):
                 if self.use_bias else None
             )
             return kernel, bias
-        y = conv1d(
-            x,
-            kernel,
-            stride=self.stride,
-            padding=self.padding,
-            dilation=self.dilation,
-            groups=self.groups,
-            pad_mode=self.pad_mode,
-        )
+        if self.int8:
+            from vibravox_tpu.ops.conv import _norm_padding
+            from vibravox_tpu.ops.quant import conv1d_int8_ste
+
+            pad = _norm_padding(self.padding, self.kernel_size, self.dilation)
+            xx = x
+            if self.pad_mode == "reflect" and pad != (0, 0):
+                from vibravox_tpu.ops.conv import reflect_pad
+
+                xx = reflect_pad(x, pad)
+                pad = (0, 0)
+            y = conv1d_int8_ste(
+                xx, kernel.astype(xx.dtype), self.stride, tuple(pad),
+                self.dilation, self.groups,
+            )
+        else:
+            y = conv1d(
+                x,
+                kernel,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                pad_mode=self.pad_mode,
+            )
         if self.use_bias:
             bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)

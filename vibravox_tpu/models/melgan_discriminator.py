@@ -32,13 +32,19 @@ class DiscriminatorMelGAN(nn.Module):
     alpha_leaky_relu: float = 0.2
 
     def setup(self):
+        import os
+
+        # int8-discriminator experiment (ops/quant.py; see eben_discriminator):
+        # when the packed stem is active it covers conv_0..conv_2, so int8
+        # engages from conv_3 on — still the FLOP bulk (1024-ch k41 stacks)
+        int8 = os.environ.get("VIBRAVOX_INT8_DISC", "0") == "1"
         self.stages = [
             WNConv1d(16, 15, stride=1, name="conv_0"),
-            WNConv1d(64, 41, stride=4, padding=20, groups=4, name="conv_1"),
-            WNConv1d(256, 41, stride=4, padding=20, groups=4, name="conv_2"),
-            WNConv1d(1024, 41, stride=4, padding=20, groups=4, name="conv_3"),
-            WNConv1d(1024, 41, stride=4, padding=20, groups=4, name="conv_4"),
-            WNConv1d(1024, 5, stride=1, padding=2, name="conv_5"),
+            WNConv1d(64, 41, stride=4, padding=20, groups=4, int8=int8, name="conv_1"),
+            WNConv1d(256, 41, stride=4, padding=20, groups=4, int8=int8, name="conv_2"),
+            WNConv1d(1024, 41, stride=4, padding=20, groups=4, int8=int8, name="conv_3"),
+            WNConv1d(1024, 41, stride=4, padding=20, groups=4, int8=int8, name="conv_4"),
+            WNConv1d(1024, 5, stride=1, padding=2, int8=int8, name="conv_5"),
         ]
         self.certainty_conv = WNConv1d(1, 3, stride=1, padding=1, name="conv_6")
 

@@ -55,11 +55,26 @@ class RegressiveMimiTask:
             self.mimi = self.mimi()
         if not hasattr(self.optimizer, "init") and callable(self.optimizer):
             self.optimizer = self.optimizer()
-        # only encoder-side params train (ref regressive_mimi.py:32-38)
-        self.optimizer = optax.multi_transform(
-            {"train": self.optimizer, "freeze": optax.set_to_zero()},
-            param_labels=self._param_labels,
-        )
+        # only encoder-side params train (ref regressive_mimi.py:32-38).
+        # Two equivalent implementations (tests/test_mimi.py pins them equal):
+        #   default — optax.multi_transform over the FULL tree with
+        #   set_to_zero on frozen leaves.  The zero updates are NOT free:
+        #   apply_updates adds +0.0 to every frozen f32 leaf, and XLA cannot
+        #   fold add(x, +0.0) under IEEE (-0+0 = +0), so the ~55M frozen
+        #   decoder/quantizer params are read+written every step.
+        #   VIBRAVOX_MIMI_SUBTREE_OPT=1 — differentiate and update ONLY the
+        #   encoder-side subtree; frozen leaves pass through the (donated)
+        #   state untouched.  Changes the opt_state pytree layout (no adam
+        #   slots for frozen leaves), so checkpoints are not interchangeable
+        #   across the flag.
+        import os
+
+        self._subtree_opt = os.environ.get("VIBRAVOX_MIMI_SUBTREE_OPT", "0") == "1"
+        if not self._subtree_opt:
+            self.optimizer = optax.multi_transform(
+                {"train": self.optimizer, "freeze": optax.set_to_zero()},
+                param_labels=self._param_labels,
+            )
         from vibravox_tpu.tasks.se_metrics import SEMetrics
 
         self._se_metrics = SEMetrics(self.sample_rate)
@@ -101,6 +116,21 @@ class RegressiveMimiTask:
             k.startswith(p) for p in _TRAINABLE_PREFIXES
         )}}
 
+    @staticmethod
+    def _split_trainable(params: Any):
+        """(wrapped?, inner dict, trainable-subtree dict) of a params tree."""
+        wrapped = "params" in params
+        inner = params["params"] if wrapped else params
+        tr = {k: v for k, v in inner.items() if any(
+            k.startswith(p) for p in _TRAINABLE_PREFIXES
+        )}
+        return wrapped, inner, tr
+
+    @staticmethod
+    def _merge_trainable(wrapped: bool, inner: Any, tr: Any) -> Any:
+        merged = {**inner, **tr}
+        return {"params": merged} if wrapped else merged
+
     def initial_params(self) -> Any:
         return self.mimi.params
 
@@ -109,10 +139,15 @@ class RegressiveMimiTask:
     ) -> MimiTrainState:
         """Init with the pretrained params passed as a jit ARGUMENT — jitting
         ``init_state`` directly would embed them as program constants."""
+        if self._subtree_opt:
+            _, _, tr = self._split_trainable(params)
+            opt_state = self.optimizer.init(tr)
+        else:
+            opt_state = self.optimizer.init(params)
         return MimiTrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=self.optimizer.init(params),
+            opt_state=opt_state,
             rng=rng,
             frozen_params=self._encoder_side(params),
         )
@@ -133,13 +168,33 @@ class RegressiveMimiTask:
             self.mimi.encode_to_latent(reference, params=frozen)
         )
 
-        def loss_fn(params):
-            latent = self.mimi.encode_to_latent(corrupted, params=params)
-            return jnp.mean(jnp.abs(latent - target_latent))
+        if self._subtree_opt:
+            # grads + adam over the encoder-side subtree only; frozen leaves
+            # flow through the donated state with zero arithmetic or HBM
+            # traffic (see __post_init__)
+            wrapped, inner, tr = self._split_trainable(state.params)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            def loss_fn(tr):
+                merged = self._merge_trainable(wrapped, inner, tr)
+                latent = self.mimi.encode_to_latent(corrupted, params=merged)
+                return jnp.mean(jnp.abs(latent - target_latent))
+
+            loss, grads = jax.value_and_grad(loss_fn)(tr)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state, tr)
+            params = self._merge_trainable(
+                wrapped, inner, optax.apply_updates(tr, updates)
+            )
+        else:
+
+            def loss_fn(params):
+                latent = self.mimi.encode_to_latent(corrupted, params=params)
+                return jnp.mean(jnp.abs(latent - target_latent))
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
         return (
             state.replace(step=state.step + 1, params=params, opt_state=opt_state),
             {"train/l1_latent_loss": loss},
