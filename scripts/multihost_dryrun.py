@@ -147,9 +147,32 @@ def worker(process_id: int, num_processes: int, port: int, devices_per_proc: int
     tp_loss = float(tp_logs["train/ctc_loss"])
     assert np.isfinite(tp_loss), tp_loss
 
+    # --- FSDP on a MULTI-PROCESS mesh (round-4 verdict #6): the per-host
+    # state assembly (make_array_from_callback) must place each process's
+    # addressable shards of a 'data'-sharded leaf correctly, not just the
+    # 'model'-sharded ones TP exercises above.  Same task, same seed, same
+    # global batch ⇒ the FSDP step's loss must match the TP-only step's
+    # (pure resharding of identical math; f32 accumulation-order tolerance).
+    dp_fsdp = DataParallel(
+        tp_task, mesh_tp, donate_state=False, fsdp=True, fsdp_min_size=64
+    )
+    fsdp_state = dp_fsdp.init_state(jax.random.key(0), tp_local)
+    fspec = fsdp_state.params["layer_0"]["q_proj"]["kernel"].sharding.spec
+    assert fspec == P("data", "model"), f"FSDP+TP params not sharded: {fspec}"
+    # adam/sgd-free check that moments would follow is pinned single-process
+    # (tests/test_fsdp.py); here the contract is cross-process placement +
+    # step execution + equivalence
+    fsdp_state, fsdp_logs = dp_fsdp.train_step(fsdp_state, tp_local)
+    fsdp_loss = float(fsdp_logs["train/ctc_loss"])
+    assert np.isfinite(fsdp_loss), fsdp_loss
+    assert abs(fsdp_loss - tp_loss) <= 1e-4 * max(1.0, abs(tp_loss)), (
+        f"FSDP step diverges from TP-only step: {fsdp_loss} vs {tp_loss}"
+    )
+
     print(
         f"MULTIHOST_OK process={process_id} loss={loss:.4f} "
-        f"eval_metrics={sorted(metrics)} tp_ctc_loss={tp_loss:.4f}",
+        f"eval_metrics={sorted(metrics)} tp_ctc_loss={tp_loss:.4f} "
+        f"fsdp_ctc_loss={fsdp_loss:.4f}",
         flush=True,
     )
 
