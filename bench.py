@@ -2,14 +2,14 @@
 
 Prints one JSON line per measured regime — {"metric", "task", "batch_size",
 "value", "unit", "vs_baseline", "mfu", ...} — with the HEADLINE line LAST
-(the driver parses the final line).  The default EBEN task emits both the
-reference's training recipe (batch 32) and the batch-128 hardware ceiling;
-pinning VIBRAVOX_BENCH_BATCH emits just that one.
-
-``--task stp`` (wav2vec2-base CTC — the heaviest transformer in the repo)
-and ``--task mimi`` (Mimi encoder-side regressive step) bench the other
-training families so a regression there is visible.  Env knobs:
-VIBRAVOX_BENCH_TASK, VIBRAVOX_BENCH_BATCH.
+(the driver parses the final line).  The default ``--task all`` measures
+every family's recipe regime — stp b8, mimi b32, spkv b32, codec b32,
+serve, then the EBEN pair (batch-32 recipe, batch-128 hardware ceiling) —
+with per-task error isolation, so a regression in ANY family shows up in
+the round artifact while the EBEN b128 headline stays the final line.
+Pinning a single ``--task``/VIBRAVOX_BENCH_BATCH measures just that one
+(EBEN alone still emits both regimes unless the batch is pinned).  Env
+knobs: VIBRAVOX_BENCH_TASK, VIBRAVOX_BENCH_BATCH.
 
 ``mfu`` is measured FLOPs / step time / 197 TF/s (v5e bf16 peak); null when
 cost analysis is unavailable.  The FLOP numerator is deflated to the
@@ -110,6 +110,9 @@ def _step_flops(dp, state, batch):
 # (round-3 verdict: b32 EBEN mfu 0.22 reported vs ~0.155 real).  The honest
 # MFU is plain-path FLOPs / packed-path time.
 _PACKING_FLAGS = ("VIBRAVOX_PACKED_RU", "VIBRAVOX_PACKED_DISC", "VIBRAVOX_PACKED_SEANET")
+# stp's packed levers are opt-in (default off) and lane-sliced FLOP-exact by
+# construction, so the ratio subprocess only runs for stp when one is enabled.
+_STP_PACKING_FLAGS = ("VIBRAVOX_PACKED_W2V2", "VIBRAVOX_POSCONV_BATCHED")
 
 # Subprocess body: CPU-compiled cost analysis of the train step, packed
 # (inherited flags) then plain (flags off).  Runs on XLA:CPU because the
@@ -147,7 +150,7 @@ def compiled_flops():
 
 
 out = {{"packed": compiled_flops()}}
-for k in bench._PACKING_FLAGS:
+for k in {flags!r}:
     os.environ[k] = "0"
 out["plain"] = compiled_flops()
 print("RATIO_JSON:" + json.dumps(out))
@@ -180,13 +183,19 @@ def _plain_flops_ratio(task, batch_size):
 
     if os.environ.get("VIBRAVOX_BENCH_PLAIN_FLOPS", "1") != "1":
         return None
-    if task not in ("eben", "mimi"):  # tasks with no packed ops: exact as-is
+    if task in ("eben", "mimi"):
+        flags = _PACKING_FLAGS
+    elif task == "stp" and any(
+        os.environ.get(k, "0") == "1" for k in _STP_PACKING_FLAGS
+    ):
+        flags = _STP_PACKING_FLAGS
+    else:  # tasks with no packed ops enabled: cost analysis is exact as-is
         return 1.0
     key = "|".join(
         [
             task,
             str(batch_size),
-            *(f"{k}={os.environ.get(k, '')}" for k in _PACKING_FLAGS),
+            *(f"{k}={os.environ.get(k, '')}" for k in flags),
             jax.__version__,
             _package_source_digest(),
         ]
@@ -202,7 +211,9 @@ def _plain_flops_ratio(task, batch_size):
         cache = {}
     if key in cache:
         return cache[key]
-    child = _RATIO_CHILD.format(repo=str(Path(__file__).parent), task=task, bs=batch_size)
+    child = _RATIO_CHILD.format(
+        repo=str(Path(__file__).parent), task=task, bs=batch_size, flags=tuple(flags)
+    )
     try:
         proc = subprocess.run(
             [sys.executable, "-c", child], capture_output=True, text=True, timeout=900
@@ -551,28 +562,21 @@ def _run_serve(batch_size) -> None:
     )
 
 
-def main(argv=None) -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument(
-        "--task", default=os.environ.get("VIBRAVOX_BENCH_TASK", "eben"),
-        choices=sorted(_TASKS),
-    )
-    args = parser.parse_args(argv)
-
-    from vibravox_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
+def _run_one(task: str, batch_size=None) -> None:
+    """Measure one task at one batch size (or the EBEN pair) and print its
+    JSON line(s).  Factored out of main() so ``--task all`` can iterate."""
     import jax
 
-    build, default_batch = _TASKS[args.task]
-    batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", str(default_batch)))
-    if args.task == "serve":
+    build, default_batch = _TASKS[task]
+    if batch_size is None:
+        batch_size = int(os.environ.get("VIBRAVOX_BENCH_BATCH", str(default_batch)))
+    if task == "serve":
         _run_serve(batch_size)
         return
-    if args.task == "spkv":
+    if task == "spkv":
         _run_spkv(batch_size)
         return
-    if args.task == "codec":
+    if task == "codec":
         _run_codec(batch_size)
         return
 
@@ -580,7 +584,7 @@ def main(argv=None) -> None:
     # reference's actual training recipe (batch 32 — ref configs/
     # lightning_datamodule/bwe.yaml:8) first, then the batch-128 hardware
     # -ceiling headline LAST (the driver parses the final JSON line)
-    if args.task == "eben" and "VIBRAVOX_BENCH_BATCH" not in os.environ:
+    if task == "eben" and "VIBRAVOX_BENCH_BATCH" not in os.environ:
         batches = [32, batch_size] if batch_size != 32 else [32]
     else:
         batches = [batch_size]
@@ -596,7 +600,7 @@ def main(argv=None) -> None:
         # program's measured time; `mfu_packed_program` keeps the raw
         # cost-analysis number for comparison when the two differ
         packed_flops = _step_flops(dp, state, batch)
-        ratio = _plain_flops_ratio(args.task, bs) if packed_flops else None
+        ratio = _plain_flops_ratio(task, bs) if packed_flops else None
         plain_flops = packed_flops * ratio if (packed_flops and ratio) else None
         flops = plain_flops or packed_flops
         mfu = flops / dt / (n_chips * V5E_BF16_PEAK) if flops else None
@@ -606,7 +610,7 @@ def main(argv=None) -> None:
 
         vs_baseline = None
         baseline_path = Path(__file__).parent / "BENCH_BASELINE.json"
-        if args.task == "eben" and baseline_path.exists():
+        if task == "eben" and baseline_path.exists():
             base = json.loads(baseline_path.read_text())
             ref = base.get("torch_reference_audio_sec_per_sec")
             if ref:
@@ -614,7 +618,7 @@ def main(argv=None) -> None:
 
         record = {
             "metric": metric,
-            "task": args.task,
+            "task": task,
             "batch_size": bs,
             "value": round(throughput, 3),
             "unit": "audio_sec/sec/chip",
@@ -630,6 +634,49 @@ def main(argv=None) -> None:
         ):
             record["mfu_packed_program"] = round(mfu_packed, 4)
         print(json.dumps(record), flush=True)
+
+
+# ``--task all`` order: every non-EBEN recipe regime first (so a regression
+# in any family lands in the round artifact), the EBEN pair last so the
+# b128 ceiling stays the final JSON line the driver parses as the headline.
+_ALL_ORDER = ("stp", "mimi", "spkv", "codec", "serve", "eben")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--task", default=os.environ.get("VIBRAVOX_BENCH_TASK", "all"),
+        choices=sorted(_TASKS) + ["all"],
+    )
+    args = parser.parse_args(argv)
+
+    from vibravox_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.task != "all":
+        _run_one(args.task)
+        return
+
+    import sys
+    import traceback
+
+    t_wall = time.perf_counter()
+    for task in _ALL_ORDER:
+        if task == "eben":
+            _run_one(task)  # headline: let a failure here fail the run
+        else:
+            try:
+                _run_one(task)
+            except Exception:
+                # per-task isolation: a broken family must not silence the
+                # headline, but its absence from the artifact IS the signal
+                print(f"bench: task {task!r} FAILED:", file=sys.stderr)
+                traceback.print_exc()
+    print(
+        f"bench: all tasks done in {time.perf_counter() - t_wall:.0f} s",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

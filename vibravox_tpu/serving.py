@@ -100,12 +100,33 @@ class EnhanceServer:
 
     def warmup(self) -> None:
         """Compile every (bucket, max_batch) program up front (serving must
-        not pay a first-request compile)."""
+        not pay a first-request compile), then warm the *worker-thread*
+        dispatch path.
+
+        The second step matters on tunnelled backends (axon TPU): the first
+        execution dispatched from a non-main thread can stall tens of
+        seconds — and indefinitely when the main thread is idle — until the
+        main thread keeps the device connection pumping.  Serving dispatches
+        exclusively from the worker thread, so warmup drives one dummy
+        request through it while pumping from the caller, and resets the
+        latency stats afterwards so the dummy's warmup latency never
+        pollutes p50/p95.
+        """
         import jax
 
         for b in self.buckets:
             x = self._jnp.zeros((self.max_batch, b, 1), self._jnp.float32)
             jax.block_until_ready(self._enhance(self.params, x))
+        fut = self.submit(np.zeros(self.buckets[0], np.float32))
+        pump = self._jnp.zeros((self.max_batch, self.buckets[0], 1), self._jnp.float32)
+        deadline = time.perf_counter() + 300.0
+        while not fut.done() and time.perf_counter() < deadline:
+            jax.block_until_ready(self._enhance(self.params, pump))
+        fut.result(timeout=60.0)
+        with self._lock:
+            self._latencies_ms = []
+            self._audio_seconds = 0.0
+            self._served = 0
 
     def submit(self, audio: np.ndarray, input_sample_rate: Optional[int] = None) -> Future:
         """Enqueue a 1-D waveform; resolves to the enhanced waveform of the
