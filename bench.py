@@ -398,11 +398,16 @@ def _run_spkv(batch_size) -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from vibravox_tpu.models.ecapa2 import ECAPA2
+    from vibravox_tpu.models.ecapa2 import ecapa2_from_config
 
     seconds = 3.0
     t = int(seconds * 16000)
-    model = ECAPA2()
+    # bf16 trunk by default — the TPU analog of the reference's fp16
+    # inference (`ecapa2.py:40` .half()); measured +35.7% at b32
+    # (docs/PERF.md ECAPA2 dossier).  f32 = checkpoint-parity mode.
+    model = ecapa2_from_config(
+        compute_dtype=os.environ.get("VIBRAVOX_ECAPA2_DTYPE", "bfloat16")
+    )
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((batch_size, t)).astype(np.float32))
     params = jax.jit(model.init)(jax.random.key(0), x0)
 
